@@ -1,0 +1,82 @@
+"""Attention dispatch: XLA einsum path + (optional) fused Pallas TPU kernel.
+
+Every attention in the framework funnels through `dot_product_attention`:
+  * CLIP text tower: causal + padding bias, S = 77 (+ prompt tokens)
+  * CLIP vision tower: bidirectional, S = (img/patch)^2 + 1 (+ prompts)
+  * CLIPSeg decoder / CRIS decoder: bidirectional or cross, tiny S
+
+Sequence lengths here are short, so the XLA path (one fused
+softmax(QK^T)V) is already close to the memory-bandwidth roofline; the Pallas
+flash kernel in `tunevlseg_tpu.ops.flash_attention` removes the materialized
+S×S score matrix for the larger vision shapes and is enabled on TPU for
+sequences above `_FLASH_MIN_SEQ`.
+
+The reference inherits its attention from HF `CLIPSegAttention` (eager
+softmax(QK^T)V; transformers/models/clipseg/modeling_clipseg.py) — numerics
+here match that: scores accumulated in f32, softmax in f32, cast back.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+# Flipped on by ops.flash_attention at import when running on TPU.
+_USE_FLASH = os.environ.get("TUNEVLSEG_FLASH", "auto")
+_FLASH_MIN_SEQ = 256
+
+
+def xla_attention(
+    q: jnp.ndarray,  # (B, S, H, Dh)
+    k: jnp.ndarray,  # (B, T, H, Dh)
+    v: jnp.ndarray,  # (B, T, H, Dh)
+    bias: Optional[jnp.ndarray] = None,  # broadcastable to (B, H, S, T)
+) -> jnp.ndarray:
+    head_dim = q.shape[-1]
+    scale = head_dim ** -0.5
+    # f32 accumulation on the MXU regardless of input dtype.
+    scores = jnp.einsum("bshd,bthd->bhst", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        scores = scores + bias.astype(scores.dtype)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhst,bthd->bshd", probs, v)
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Dispatch between the Pallas flash kernel and the XLA path."""
+    use_flash = _USE_FLASH == "1" or (
+        _USE_FLASH == "auto"
+        and q.shape[1] >= _FLASH_MIN_SEQ
+        and q.shape[1] == k.shape[1]
+        and jax.default_backend() == "tpu"
+    )
+    if use_flash:
+        from tunevlseg_tpu.ops import flash_attention as fa
+
+        out = fa.flash_attention(q, k, v, bias=bias)
+        if out is not None:
+            return out
+    return xla_attention(q, k, v, bias)
+
+
+def causal_bias(seq_len: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(1, 1, S, S) additive causal mask; matches HF
+    `_create_4d_causal_attention_mask` (min-value fill above the diagonal)."""
+    mask = jnp.triu(jnp.full((seq_len, seq_len), jnp.finfo(dtype).min, dtype), k=1)
+    return mask[None, None]
+
+
+def padding_bias(attention_mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """(B, S) {0,1} keep-mask -> (B, 1, 1, S) additive bias; matches HF
+    `_prepare_4d_attention_mask` (masked keys get dtype-min)."""
+    neg = jnp.finfo(dtype).min
+    bias = (1.0 - attention_mask.astype(dtype)) * neg
+    return bias[:, None, None, :]

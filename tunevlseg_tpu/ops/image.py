@@ -1,0 +1,103 @@
+"""Image resampling as precomputed matmuls — TPU-native resize.
+
+PyTorch's `F.interpolate(mode="bicubic"/"bilinear", align_corners=False)` is a
+separable convolution with *statically known* sample positions whenever input
+and output sizes are static (always true under jit). We therefore express each
+resize as two small dense matmuls
+
+    out = W_rows @ img @ W_cols^T
+
+which run on the MXU instead of a gather-heavy general resampler. The weight
+matrices match torch numerics exactly:
+  * half-pixel coordinate transform (align_corners=False):
+        src = (dst + 0.5) * (in/out) - 0.5
+  * cubic kernel with A = -0.75 (torch/OpenCV convention; note jax.image uses
+    A = -0.5, which does NOT match torch)
+  * border replication of out-of-range taps.
+
+Used for: CLIP vision position-embedding interpolation (HF CLIPSeg
+`interpolate_pos_encoding`, bicubic), the `use_new_last_layer` additive head's
+`nn.Upsample(bilinear)` (reference: src/models/core_models/coop/
+base_clipseg.py:58-72), CRIS's final bicubic upsample (reference:
+src/models/components/cris_model/__init__.py:132), and prediction-mask
+restoration (reference: src/utils/save_utils.py).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _cubic_kernel(x: np.ndarray, a: float = -0.75) -> np.ndarray:
+    x = np.abs(x)
+    x2, x3 = x * x, x * x * x
+    w = np.where(
+        x <= 1.0,
+        (a + 2.0) * x3 - (a + 3.0) * x2 + 1.0,
+        np.where(x < 2.0, a * x3 - 5.0 * a * x2 + 8.0 * a * x - 4.0 * a, 0.0),
+    )
+    return w
+
+
+@functools.lru_cache(maxsize=128)
+def _resize_matrix(in_size: int, out_size: int, mode: str,
+                   align_corners: bool = False) -> np.ndarray:
+    """(out_size, in_size) row-stochastic interpolation matrix."""
+    if align_corners and out_size > 1:
+        scale = (in_size - 1) / (out_size - 1)
+        src = np.arange(out_size, dtype=np.float64) * scale
+    else:
+        scale = in_size / out_size
+        src = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
+
+    w = np.zeros((out_size, in_size), dtype=np.float64)
+    if mode == "bilinear":
+        base = np.floor(src).astype(np.int64)
+        frac = src - base
+        for tap, weight in ((base, 1.0 - frac), (base + 1, frac)):
+            idx = np.clip(tap, 0, in_size - 1)
+            np.add.at(w, (np.arange(out_size), idx), weight)
+    elif mode == "bicubic":
+        base = np.floor(src).astype(np.int64)
+        frac = src - base
+        for offset in range(-1, 3):
+            weight = _cubic_kernel(frac - offset)
+            idx = np.clip(base + offset, 0, in_size - 1)
+            np.add.at(w, (np.arange(out_size), idx), weight)
+    elif mode == "nearest":
+        # torch "nearest" (floor of dst*scale, no half-pixel shift)
+        idx = np.clip(np.floor(np.arange(out_size) * (in_size / out_size)
+                               ).astype(np.int64), 0, in_size - 1)
+        w[np.arange(out_size), idx] = 1.0
+    else:
+        raise ValueError(f"unknown resize mode: {mode}")
+    return w.astype(np.float32)
+
+
+def resize_2d(img: jnp.ndarray, out_hw: tuple[int, int], method: str = "bilinear",
+              align_corners: bool = False) -> jnp.ndarray:
+    """Resize the trailing two axes of `img` (..., H, W) -> (..., H', W').
+
+    Matches `torch.nn.functional.interpolate(img, out_hw, mode=method,
+    align_corners=align_corners)` numerics (without antialiasing, like torch's
+    default). Implemented as two MXU matmuls.
+    """
+    h_in, w_in = img.shape[-2], img.shape[-1]
+    h_out, w_out = out_hw
+    if (h_in, w_in) == (h_out, w_out):
+        return img
+    wr = jnp.asarray(_resize_matrix(h_in, h_out, method, align_corners))
+    wc = jnp.asarray(_resize_matrix(w_in, w_out, method, align_corners))
+    dtype = img.dtype
+    x = img.astype(jnp.float32)
+    x = jnp.einsum("oh,...hw->...ow", wr, x, preferred_element_type=jnp.float32)
+    x = jnp.einsum("ow,...hw->...ho", wc, x, preferred_element_type=jnp.float32)
+    return x.astype(dtype)
+
+
+def upsample_scale(img: jnp.ndarray, scale: int, method: str = "bilinear") -> jnp.ndarray:
+    """`nn.Upsample(scale_factor=scale, mode=method)` on (..., H, W)."""
+    h, w = img.shape[-2], img.shape[-1]
+    return resize_2d(img, (h * scale, w * scale), method)

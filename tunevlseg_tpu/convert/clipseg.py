@@ -27,8 +27,13 @@ from tunevlseg_tpu.models.clip.config import (CLIPSegConfig, CLIPTextConfig,
 
 
 def torch_state_dict_to_numpy(state_dict) -> dict[str, np.ndarray]:
-    return {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
-            for k, v in state_dict.items()}
+    out = {}
+    for k, v in state_dict.items():
+        a = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+        if a.dtype == np.float64:  # e.g. an f64 oracle model in tests
+            a = a.astype(np.float32)
+        out[k] = a
+    return out
 
 
 def config_from_hf(hf_config) -> CLIPSegConfig:

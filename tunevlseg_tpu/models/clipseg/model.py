@@ -101,8 +101,11 @@ class CLIPSegForSegmentation(nn.Module):
 
         # --- vision tower (runs first; CoCoOp consumes pooled features,
         # base_multimodal_clipseg.py:577-585) ---
-        # VPT skips the unused tail layers + pooling (vpt_clipseg.py:129-131)
-        early_exit = has_visual_ctx and not has_text_ctx
+        # Skip the tail layers + pooling whenever pooled features are unused:
+        # logits never depend on them (the reference only exploits this for
+        # VPT/multimodal, vpt_clipseg.py:129-131 — here it is safe for every
+        # non-CoCoOp variant and saves 2/12 vision layers).
+        early_exit = not need_pooled
         hidden_states, _, pooled_vis = self.vision_model(
             pixel_values, visual_ctx=visual_ctx, prompt_depth=prompt_depth,
             extract_layers=c.extract_layers, early_exit=early_exit)

@@ -99,8 +99,8 @@ class MLPProjector(nn.Module):
                      use_bias=(not self.use_final_norm) and self.use_final_bias,
                      name="out")(x)
         if self.use_final_norm:
-            x = nn.LayerNorm(use_bias=self.use_final_bias, dtype=self.dtype,
-                             name="norm")(x)
+            x = nn.LayerNorm(epsilon=1e-5, use_bias=self.use_final_bias,
+                             dtype=self.dtype, name="norm")(x)
         return x
 
 
@@ -122,8 +122,8 @@ class LoRAProjector(nn.Module):
                          use_bias=(not self.use_final_norm) and self.use_final_bias,
                          name="up")(x)
         if self.use_final_norm:
-            x = nn.LayerNorm(use_bias=self.use_final_bias, dtype=self.dtype,
-                             name="norm")(x)
+            x = nn.LayerNorm(epsilon=1e-5, use_bias=self.use_final_bias,
+                             dtype=self.dtype, name="norm")(x)
         return x
 
 
@@ -151,8 +151,10 @@ class TorchTransformerEncoderLayer(nn.Module):
 
         d = x.shape[-1]
         drop = lambda h: nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
-        ln1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
-        ln2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
+        # torch LayerNorm eps default is 1e-5 (flax defaults to 1e-6 — with the
+        # tiny-variance context vectors that is a ~1% difference)
+        ln1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")
+        ln2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
 
         def sa(h):
             # attention over the seq axis; convert to batch-first for our MHA

@@ -1,0 +1,130 @@
+"""Training-step integration tests on the virtual 8-device CPU mesh —
+the TPU analogue of the reference's `trainer=ddp_sim` + `debug=overfit`
+configs (SURVEY §4)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tunevlseg_tpu.models.clip.config import CLIPSegConfig
+from tunevlseg_tpu.models.clipseg.model import CLIPSegForSegmentation
+from tunevlseg_tpu.models.prompt.learners import CoOpLearner, SharedAttnLearner
+from tunevlseg_tpu.ops.metrics import SegMetricState
+from tunevlseg_tpu.parallel import mesh as mesh_lib
+from tunevlseg_tpu.training.optim import FreezeSpec, count_params
+from tunevlseg_tpu.training.task import SegmentationTask
+
+
+def synthetic_batch(rng, batch=8, img=32, seq=12, vocab=99):
+    pixel = rng.normal(size=(batch, 3, img, img)).astype(np.float32)
+    ids = rng.integers(3, vocab - 1, size=(batch, seq)).astype(np.int32)
+    ids[:, 0] = 1
+    ids[:, -1] = vocab - 1
+    mask = np.ones((batch, seq), np.int32)
+    # a learnable blob target correlated with the image
+    yy, xx = np.mgrid[:img, :img]
+    blob = ((yy - img / 2) ** 2 + (xx - img / 2) ** 2 < (img / 3) ** 2)
+    seg = np.repeat(blob[None, None], batch, 0).astype(np.float32)
+    return {"image": pixel, "mask": seg, "input_ids": ids,
+            "attention_mask": mask, "valid": np.ones((batch,), np.float32)}
+
+
+@pytest.fixture(scope="module")
+def cpu_mesh():
+    return mesh_lib.make_mesh()
+
+
+def test_coop_overfit_single_batch(cpu_mesh, rng):
+    cfg = CLIPSegConfig.tiny()
+    # "residual" blend gives the trainable additive head a direct path to the
+    # logits (the "unused" CoOp quirk would only train through FiLM, far too
+    # weak to overfit a random frozen decoder in 40 steps)
+    model = CLIPSegForSegmentation(
+        cfg, learner=CoOpLearner(prompt_depth=2, num_context=4,
+                                 context_dim=cfg.text.hidden_size),
+        additive_mode="residual")
+    task = SegmentationTask(model, FreezeSpec(freeze_all=True,
+                                              use_new_last_layer=True),
+                            learning_rate=1e-2)
+    batch = synthetic_batch(rng)
+    # all-ones target: trivially learnable by the additive head's bias — a
+    # pure machinery test (params update, loss drops, frozen stays frozen)
+    batch["mask"] = np.ones_like(batch["mask"])
+    state, frozen = task.init(jax.random.PRNGKey(0), batch)
+
+    n_train = count_params(state.trainable)
+    n_frozen = count_params(frozen)
+    # only context vectors + additive head + residual ratio are trainable
+    assert n_train < 2000, n_train
+    assert n_frozen > 50_000, n_frozen
+
+    state = mesh_lib.replicate(cpu_mesh, state)
+    frozen = mesh_lib.replicate(cpu_mesh, frozen)
+    train, _, _ = task.compile_steps(cpu_mesh)
+    sharded = mesh_lib.shard_batch(cpu_mesh, batch)
+
+    frozen_before = jax.tree_util.tree_map(np.asarray, frozen)
+    losses = []
+    for _ in range(40):
+        state, m = train(state, frozen, sharded)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] - 0.05, (losses[0], losses[-1])
+
+    # frozen params must not move
+    for a, b in zip(jax.tree_util.tree_leaves(frozen_before),
+                    jax.tree_util.tree_leaves(
+                        jax.tree_util.tree_map(np.asarray, frozen))):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_eval_and_metrics_accumulate(cpu_mesh, rng):
+    cfg = CLIPSegConfig.tiny()
+    model = CLIPSegForSegmentation(
+        cfg, learner=SharedAttnLearner(
+            prompt_depth=1, num_context=2,
+            context_dim=cfg.text.hidden_size + cfg.vision.hidden_size,
+            textual_dim=cfg.text.hidden_size, visual_dim=cfg.vision.hidden_size,
+            proj_num_heads=2, proj_dim_feedforward=8),
+        additive_mode="residual")
+    task = SegmentationTask(model)
+    batch = synthetic_batch(rng)
+    state, frozen = task.init(jax.random.PRNGKey(0), batch)
+    state = mesh_lib.replicate(cpu_mesh, state)
+    frozen = mesh_lib.replicate(cpu_mesh, frozen)
+    _, evals, predict = task.compile_steps(cpu_mesh)
+
+    mstate = mesh_lib.replicate(cpu_mesh, SegMetricState.zeros())
+    sharded = mesh_lib.shard_batch(cpu_mesh, batch)
+    for _ in range(3):
+        mstate, extra = evals(state, frozen, mstate, sharded)
+    assert float(mstate.n_samples) == 24.0
+    from tunevlseg_tpu.ops.metrics import compute
+    res = compute(mstate)
+    assert 0.0 <= float(res["dice"]) <= 1.0
+    assert 0.0 <= float(res["iou"]) <= 1.0
+
+    preds = predict(state, frozen, sharded)
+    assert preds.shape == batch["mask"].shape
+    assert np.all((np.asarray(preds) >= 0) & (np.asarray(preds) <= 1))
+
+
+def test_padded_batch_valid_masking(cpu_mesh, rng):
+    """Metrics must ignore padded samples (valid=0)."""
+    cfg = CLIPSegConfig.tiny()
+    model = CLIPSegForSegmentation(cfg)
+    task = SegmentationTask(model, FreezeSpec(freeze_all=False))
+    batch = synthetic_batch(rng)
+    state, frozen = task.init(jax.random.PRNGKey(0), batch)
+    _, evals, _ = task.compile_steps(cpu_mesh)
+
+    full = dict(batch)
+    mstate, _ = evals(state, frozen, SegMetricState.zeros(),
+                      mesh_lib.shard_batch(cpu_mesh, full))
+    assert float(mstate.n_samples) == 8.0
+
+    padded = dict(batch)
+    padded["valid"] = np.array([1, 1, 1, 1, 0, 0, 0, 0], np.float32)
+    mstate2, _ = evals(state, frozen, SegMetricState.zeros(),
+                       mesh_lib.shard_batch(cpu_mesh, padded))
+    assert float(mstate2.n_samples) == 4.0

@@ -1,0 +1,93 @@
+"""Named model presets mirroring the reference's canonical configurations.
+
+The flagship benchmark model is CLIPSeg ViT-B/16 ("CIDAS/clipseg-rd64",
+reference configs/experiment/coop/clipseg.yaml: model_pretrained_path) with
+CoOp prompt tuning at img 352², batch 64 (BASELINE.md canonical recipe).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+
+from tunevlseg_tpu.models.clip.config import (CLIPSegConfig, CLIPTextConfig,
+                                              CLIPVisionConfig)
+from tunevlseg_tpu.models.clipseg.model import (CLIPSegForSegmentation,
+                                                strategy_additive_mode)
+from tunevlseg_tpu.models.prompt.learners import LEARNER_REGISTRY
+from tunevlseg_tpu.training.optim import FreezeSpec
+
+
+def clipseg_rd64_config(complex_head: bool = False) -> CLIPSegConfig:
+    """CIDAS/clipseg-rd64(-refined): CLIP ViT-B/16 + 512-wide text tower."""
+    return CLIPSegConfig(
+        text=CLIPTextConfig(),          # 512 hidden, 12 layers, 8 heads
+        vision=CLIPVisionConfig(),      # ViT-B/16: 768 hidden, 12 layers
+        projection_dim=512,
+        extract_layers=(3, 6, 9),
+        reduce_dim=64,
+        decoder_num_heads=4,
+        decoder_intermediate_size=2048,
+        conditional_layer=0,
+        complex_transposed_convolution=complex_head,
+    )
+
+
+def default_learner_kwargs(strategy: str, cfg: CLIPSegConfig) -> dict:
+    """Per-strategy dims wired from the model config, as the thin wrapper
+    ctors do in the reference (maple_clipseg.py:11-25 etc.)."""
+    t, v, p = cfg.text.hidden_size, cfg.vision.hidden_size, cfg.projection_dim
+    return {
+        "coop": dict(context_dim=t),
+        "cocoop": dict(context_dim=t, visual_dim=p, norm_image_features=False,
+                       use_unified_projection=False, intermediate_dims=(64,),
+                       use_proj_norm=True),
+        "vpt": dict(context_dim=v),
+        "maple": dict(context_dim=t, visual_dim=v,
+                      use_unified_projection=False, intermediate_dims=(64,),
+                      use_proj_norm=True),
+        "shared_separate": dict(context_dim=64, textual_dim=t, visual_dim=v,
+                                use_unified_projection=False,
+                                use_proj_norm=True),
+        "shared_attn": dict(context_dim=t + v, textual_dim=t, visual_dim=v,
+                            use_unified_projection=False, proj_num_heads=16,
+                            proj_dim_feedforward=1536, proj_dropout=0.25),
+    }[strategy]
+
+
+def build_clipseg(
+    strategy: Optional[str] = "coop",
+    prompt_depth: int = 1,
+    num_context: int = 4,
+    config: Optional[CLIPSegConfig] = None,
+    use_new_last_layer: bool = True,
+    freeze_all: bool = True,
+    no_freeze_last_layer: bool = False,
+    dtype: Any = jnp.float32,
+    learner_overrides: Optional[dict] = None,
+    initializer_embeddings=None,
+) -> tuple[CLIPSegForSegmentation, FreezeSpec]:
+    """Build the model + freeze spec for a strategy (None = e2e fine-tune)."""
+    cfg = config or clipseg_rd64_config()
+    learner = None
+    if strategy is not None and strategy != "e2e":
+        kwargs = default_learner_kwargs(strategy, cfg)
+        kwargs.update(learner_overrides or {})
+        if strategy in ("coop", "cocoop", "maple") and \
+                initializer_embeddings is not None:
+            kwargs["initializer_embeddings"] = initializer_embeddings
+        learner = LEARNER_REGISTRY[strategy](
+            prompt_depth=prompt_depth, num_context=num_context,
+            dtype=dtype, **kwargs)
+        learner.check_depth(prompt_depth,
+                            min(cfg.text.num_layers, cfg.vision.num_layers))
+    model = CLIPSegForSegmentation(
+        cfg, learner=learner,
+        additive_mode=strategy_additive_mode(strategy, use_new_last_layer),
+        dtype=dtype)
+    spec = FreezeSpec(
+        freeze_all=freeze_all if strategy not in (None, "e2e") else False,
+        no_freeze_last_layer=no_freeze_last_layer,
+        use_new_last_layer=use_new_last_layer and strategy not in (None, "e2e"),
+        complex_head=cfg.complex_transposed_convolution)
+    return model, spec

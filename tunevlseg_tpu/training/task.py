@@ -1,0 +1,168 @@
+"""The segmentation task: jitted, mesh-sharded train/eval/predict steps.
+
+This is the TPU-native replacement for the reference's
+`ImageTextMaskModule(LightningModule)` (src/models/image_text_mask_module.py):
+one task class for every net, with the universal batch contract
+
+    batch = {"image": (B,C,H,W) f32, "mask": (B,1,H,W) f32,
+             "input_ids": (B,L) i32, "attention_mask": (B,L) i32,
+             "valid": (B,) f32 (1 for real samples, 0 for pad samples)}
+
+Key differences from the Lightning design, by construction:
+  * the whole step (forward, loss, backward, optimizer, metric update) is ONE
+    jitted XLA program over the device mesh — no per-batch Python;
+  * frozen params are held outside the differentiated tree (training/optim.py)
+    so no frozen gradients/optimizer state exist;
+  * metrics are a psum-able pytree (ops/metrics.py) reduced across shards by
+    GSPMD automatically;
+  * `valid` masking replaces DDP's drop_last/divisibility constraint
+    (reference datamodule errors when batch % world_size != 0 —
+    image_text_mask_datamodule.py:40-47; we pad + mask instead).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tunevlseg_tpu.ops import losses as losses_lib
+from tunevlseg_tpu.ops import metrics as metrics_lib
+from tunevlseg_tpu.parallel import mesh as mesh_lib
+from tunevlseg_tpu.training import optim as optim_lib
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    trainable: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+@dataclasses.dataclass
+class SegmentationTask:
+    model: nn.Module
+    freeze_spec: optim_lib.FreezeSpec = optim_lib.FreezeSpec()
+    loss_fn: Callable = losses_lib.dice_ce_loss
+    loss_kwargs: dict = dataclasses.field(default_factory=dict)
+    threshold: float = 0.5
+    learning_rate: float = 2e-4
+    weight_decay: float = 0.0
+    grad_clip_norm: Optional[float] = None
+    donate_state: bool = True
+
+    def __post_init__(self):
+        self.tx = optim_lib.make_optimizer(
+            self.learning_rate, self.weight_decay,
+            grad_clip_norm=self.grad_clip_norm)
+
+    # -- init ---------------------------------------------------------------
+
+    def init(self, rng: jax.Array, batch: dict,
+             params: Optional[Any] = None) -> tuple[TrainState, Any]:
+        """Returns (state, frozen_params). `params` may be a converted
+        checkpoint pytree; otherwise random init."""
+        if params is None:
+            params = self.model.init(
+                rng, batch["input_ids"], batch["image"],
+                batch.get("attention_mask"))["params"]
+        trainable, frozen = optim_lib.partition_params(params, self.freeze_spec)
+        opt_state = self.tx.init(trainable)
+        state = TrainState(jnp.zeros((), jnp.int32), trainable, opt_state,
+                           jax.random.fold_in(rng, 1))
+        return state, frozen
+
+    # -- steps --------------------------------------------------------------
+
+    def _forward(self, params, batch, rngs=None, deterministic=True):
+        return self.model.apply(
+            {"params": params}, batch["input_ids"], batch["image"],
+            batch.get("attention_mask"), deterministic=deterministic,
+            rngs=rngs)
+
+    def _loss(self, trainable, frozen, batch, rng):
+        params = optim_lib.merge_params(trainable, frozen)
+        logits = self._forward(params, batch, rngs={"dropout": rng},
+                               deterministic=False)
+        mask = batch["mask"]
+        valid = batch.get("valid")
+        if valid is not None:
+            # zero-out padded samples on both sides so they contribute a
+            # constant (matching) term to the loss
+            v = valid.reshape(-1, 1, 1, 1).astype(logits.dtype)
+            logits = logits * v + (1 - v) * 0.0
+            mask = mask * v
+        loss = self.loss_fn(logits, mask, **self.loss_kwargs)
+        return loss, logits
+
+    def train_step(self, state: TrainState, frozen, batch):
+        rng = jax.random.fold_in(state.rng, state.step)
+        (loss, logits), grads = jax.value_and_grad(
+            self._loss, has_aux=True)(state.trainable, frozen, batch, rng)
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.trainable)
+        trainable = optax.apply_updates(state.trainable, updates)
+        probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+        step_metrics = {
+            "loss": loss,
+            "dice": metrics_lib.dice_score(probs, batch["mask"], self.threshold),
+            "iou": metrics_lib.iou_score(probs, batch["mask"], self.threshold),
+        }
+        return TrainState(state.step + 1, trainable, opt_state, state.rng), \
+            step_metrics
+
+    def eval_step(self, state: TrainState, frozen,
+                  metric_state: metrics_lib.SegMetricState, batch):
+        params = optim_lib.merge_params(state.trainable, frozen)
+        logits = self._forward(params, batch)
+        mask = batch["mask"]
+        valid = batch.get("valid")
+        v = None if valid is None else valid
+        probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+        if v is not None:
+            vv = v.reshape(-1, 1, 1, 1).astype(logits.dtype)
+            loss = self.loss_fn(logits * vv, mask * vv, **self.loss_kwargs)
+        else:
+            loss = self.loss_fn(logits, mask, **self.loss_kwargs)
+        new_metric_state = metrics_lib.update_state(
+            metric_state, probs, mask, self.threshold, valid=v)
+        n = jnp.sum(v) if v is not None else jnp.asarray(
+            batch["mask"].shape[0], jnp.float32)
+        return new_metric_state, {"loss_sum": loss * n, "n": n}
+
+    def predict_step(self, state: TrainState, frozen, batch):
+        params = optim_lib.merge_params(state.trainable, frozen)
+        logits = self._forward(params, batch)
+        return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+    # -- jit + sharding -----------------------------------------------------
+
+    def compile_steps(self, mesh: Mesh):
+        """Jit the steps over the mesh: state/params replicated, batch
+        sharded on the data axis. GSPMD inserts the grad psum over ICI."""
+        repl = mesh_lib.replicated(mesh)
+        bsh = mesh_lib.batch_sharding(mesh)
+
+        def batch_shardings(proto: dict):
+            return {k: bsh for k in proto}
+
+        train = jax.jit(
+            self.train_step,
+            in_shardings=(repl, repl, None),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,) if self.donate_state else (),
+        )
+        evals = jax.jit(
+            self.eval_step,
+            in_shardings=(repl, repl, repl, None),
+            out_shardings=(repl, repl),
+        )
+        predict = jax.jit(self.predict_step,
+                          in_shardings=(repl, repl, None),
+                          out_shardings=bsh)
+        return train, evals, predict

@@ -1,0 +1,122 @@
+"""Host-side input pipeline: threaded decode/augment workers + prefetch.
+
+Replaces torch DataLoader workers (reference image_text_mask_datamodule.py):
+  * a thread pool decodes/augments samples (cv2 releases the GIL, so threads
+    scale like processes without pickling overhead);
+  * batches have FIXED shapes: text pad-to-77 at tokenization, final partial
+    batch padded with repeated samples + `valid=0` flags (instead of the
+    reference's world-size divisibility error / drop_last);
+  * a background prefetcher keeps `prefetch` batches ready so the TPU never
+    waits on the host (SURVEY §7 hard part #4).
+
+Epoch shuffling is deterministic from (seed, epoch), the JAX-style explicit
+counterpart of Lightning's seed_everything.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Iterator, Optional
+
+import numpy as np
+
+_ARRAY_KEYS = ("image", "mask", "input_ids", "attention_mask")
+
+
+def collate(samples: list[dict[str, Any]], batch_size: int) -> dict[str, Any]:
+    """Stack samples; pad to `batch_size` with repeats + valid=0."""
+    n = len(samples)
+    valid = np.zeros((batch_size,), np.float32)
+    valid[:n] = 1.0
+    while len(samples) < batch_size:
+        samples.append(samples[-1])
+    batch: dict[str, Any] = {
+        k: np.stack([s[k] for s in samples]) for k in _ARRAY_KEYS
+        if k in samples[0]
+    }
+    batch["valid"] = valid
+    # passthrough metadata (lists, not arrays — host-side only)
+    for k in ("mask_name", "prompt", "mask_shape"):
+        if k in samples[0]:
+            batch[k] = [s[k] for s in samples]
+    return batch
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        num_workers: int = 8,
+        drop_last: bool = False,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _order(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            rng.shuffle(idx)
+        return idx
+
+    def __iter__(self) -> Iterator[dict[str, Any]]:
+        order = self._order()
+        nb = len(self)
+        out: "queue.Queue[Any]" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                pending = []
+                for b in range(nb):
+                    chunk = order[b * self.batch_size:(b + 1) * self.batch_size]
+                    pending.append(pool.map(self.dataset.__getitem__, chunk))
+                for fut in pending:
+                    if stop.is_set():
+                        return
+                    try:
+                        samples = list(fut)
+                        out.put(collate(samples, self.batch_size))
+                    except Exception as e:  # surface worker errors
+                        out.put(e)
+                        return
+            out.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = out.get()
+                if item is None:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+def device_batch(batch: dict[str, Any]) -> dict[str, Any]:
+    """Strip host-only metadata before shipping to device."""
+    return {k: v for k, v in batch.items()
+            if k in (*_ARRAY_KEYS, "valid")}

@@ -1,0 +1,123 @@
+"""End-to-end CLI tests: config composition + full train->test->predict run
+on a synthetic dataset with the tiny model (the reference's `debug=fdr`
+smoke-test idea, SURVEY §4)."""
+import json
+from pathlib import Path
+
+import cv2
+import numpy as np
+import pytest
+
+from tunevlseg_tpu.config.composer import compose
+from tunevlseg_tpu.train import CONFIG_DIR
+
+VOCAB = "/root/reference/src/models/components/denseclip/bpe_simple_vocab_16e6.txt.gz"
+pytestmark = pytest.mark.skipif(not Path(VOCAB).exists(),
+                                reason="CLIP vocab not available")
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data") / "kvasir_polyp"
+    (root / "images").mkdir(parents=True)
+    (root / "masks").mkdir()
+    (root / "anns").mkdir()
+    rng = np.random.default_rng(0)
+    tasks = []
+    for i in range(8):
+        img = rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+        mask = np.zeros((40, 40), np.uint8)
+        mask[8:30, 8:30] = 255
+        cv2.imwrite(str(root / "images" / f"{i}.png"), img)
+        cv2.imwrite(str(root / "masks" / f"{i}.png"), mask)
+        tasks.append({"img_name": f"{i}.png", "mask_name": f"{i}.png",
+                      "prompts": {"p0": "polyp"}})
+    for split in ("train", "val", "test"):
+        (root / "anns" / f"{split}.json").write_text(json.dumps(tasks))
+    return root.parent
+
+
+def test_compose_defaults():
+    cfg = compose(CONFIG_DIR, "train", ["ds_name=kvasir_polyp"])
+    assert cfg["model"]["strategy"] == "coop"
+    assert cfg["model"]["optimizer"]["lr"] == 2e-4
+    assert cfg["img_size"] == 352
+    assert cfg["dataset_root"].endswith("data/kvasir_polyp")
+    assert cfg["data"]["image_dir"].endswith("kvasir_polyp/images")
+
+
+def test_compose_experiment_and_overrides():
+    cfg = compose(CONFIG_DIR, "train", [
+        "experiment=coop/clipseg", "ds_name=busi",
+        "model.optimizer.lr=1e-3", "data.batch_size=4",
+        "trainer=debug", "+extra_flag=7",
+    ])
+    assert cfg["model"]["optimizer"]["lr"] == 1e-3
+    assert cfg["data"]["batch_size"] == 4
+    assert cfg["trainer"]["limit_batches"] == 2
+    assert cfg["extra_flag"] == 7
+    assert "coop" in cfg["tags"]
+
+
+def test_compose_strategy_variants():
+    cfg = compose(CONFIG_DIR, "train",
+                  ["model=shared_attn_clipseg", "ds_name=x"])
+    assert cfg["model"]["strategy"] == "shared_attn"
+    # inherits the coop base via the string defaults include
+    assert cfg["model"]["loss_fn"]["name"] == "dice_ce"
+    assert cfg["model"]["learner"]["proj_num_heads"] == 16
+
+
+def test_missing_mandatory_raises():
+    with pytest.raises(ValueError, match="ds_name"):
+        compose(CONFIG_DIR, "train", [])
+
+
+def test_full_train_eval_cycle(synth_root, tmp_path):
+    from tunevlseg_tpu import eval as eval_mod
+    from tunevlseg_tpu import train as train_mod
+
+    out = tmp_path / "logs"
+    overrides = [
+        "ds_name=kvasir_polyp",
+        f"paths.data_root={synth_root}",
+        f"paths.log_dir={out}",
+        f"vocab_path={VOCAB}",
+        "img_size=32",
+        "+tiny_model=true",
+        "data.batch_size=4",
+        "data.num_workers=2",
+        "trainer=debug",
+        "trainer.max_epochs=2",
+        "trainer.n_devices=4",
+        "predict=true",
+        "exp_name=smoke",
+    ]
+    result = train_mod.main(overrides)
+    assert "test_dice" in result and 0 <= result["test_dice"] <= 1
+    ckpt_dir = out / "train" / "smoke" / "checkpoints"
+    assert (ckpt_dir / "best").exists()
+    assert (ckpt_dir / "last").exists()
+    masks = list(Path(result["output_masks_dir"]).glob("*.png"))
+    assert len(masks) == 8
+    # saved masks restored to original resolution
+    m = cv2.imread(str(masks[0]), cv2.IMREAD_GRAYSCALE)
+    assert m.shape == (40, 40)
+
+    eval_result = eval_mod.main([
+        "ds_name=kvasir_polyp",
+        f"paths.data_root={synth_root}",
+        f"paths.log_dir={out}",
+        f"vocab_path={VOCAB}",
+        "img_size=32",
+        "+tiny_model=true",
+        "data.batch_size=4",
+        "data.num_workers=2",
+        "trainer=debug",
+        "trainer.n_devices=4",
+        f"ckpt_path={ckpt_dir}",
+        "exp_name=smoke_eval",
+    ])
+    assert "test_dice" in eval_result
+    np.testing.assert_allclose(eval_result["test_dice"],
+                               result["test_dice"], atol=1e-5)

@@ -209,6 +209,33 @@ def convert_context_learner(sd: Mapping[str, np.ndarray], strategy: str,
     return t
 
 
+def load_checkpoint_params(path: str, config: CLIPSegConfig,
+                           strategy: Optional[str] = None) -> dict[str, Any]:
+    """Load a torch checkpoint file (.pt/.pth/.bin/.safetensors) and convert.
+
+    Handles both plain HF `CLIPSegForImageSegmentation` state dicts and the
+    reference wrapper layout (`model.*` prefix + learner/head params), plus
+    Lightning checkpoints (`state_dict` key, `net.` prefix stripped —
+    reference scripts/process_cris_checkpoint.py semantics).
+    """
+    if str(path).endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        sd = dict(load_file(path))
+    else:
+        import torch
+        raw = torch.load(path, map_location="cpu", weights_only=False)
+        if isinstance(raw, dict) and "state_dict" in raw:
+            raw = raw["state_dict"]
+        sd = torch_state_dict_to_numpy(raw)
+    # strip common wrapper prefixes
+    for prefix in ("net.", "module."):
+        if all(k.startswith(prefix) for k in sd):
+            sd = {k[len(prefix):]: v for k, v in sd.items()}
+    if any(k.startswith("model.") for k in sd):
+        return convert_reference_wrapper(sd, config, strategy)
+    return convert_hf_clipseg(sd, config)
+
+
 def convert_reference_wrapper(sd: Mapping[str, np.ndarray],
                               config: CLIPSegConfig,
                               strategy: Optional[str] = None) -> dict[str, Any]:

@@ -1,0 +1,71 @@
+"""Evaluation entry point (reference src/eval.py: test + predict from a
+checkpoint, no fit).
+
+    python -m tunevlseg_tpu.eval experiment=coop/clipseg ds_name=... \
+        ckpt_path=logs/train/<exp>/checkpoints
+"""
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+from typing import Optional
+
+import jax
+
+from tunevlseg_tpu.config.composer import compose
+from tunevlseg_tpu.data.pipeline import DataLoader, device_batch
+from tunevlseg_tpu.data.tokenizer import load_default_tokenizer
+from tunevlseg_tpu.parallel import mesh as mesh_lib
+from tunevlseg_tpu.train import (CONFIG_DIR, build_datasets,
+                                 build_model_and_task, load_pretrained)
+from tunevlseg_tpu.training.checkpoint import CheckpointManager
+from tunevlseg_tpu.training.loop import Trainer
+from tunevlseg_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+def main(argv: Optional[list[str]] = None) -> dict:
+    overrides = argv if argv is not None else sys.argv[1:]
+    cfg = compose(CONFIG_DIR, "eval", overrides)
+
+    seed = cfg.get("seed", 0)
+    tokenizer = load_default_tokenizer(cfg.get("vocab_path"))
+    datasets = build_datasets(cfg, tokenizer)
+    model, task = build_model_and_task(cfg, tokenizer)
+    t = cfg["trainer"]
+    mesh = mesh_lib.make_mesh(t.get("n_devices"), t.get("model_parallel", 1))
+    d = cfg["data"]
+    test_loader = DataLoader(datasets["test"], d["batch_size"], shuffle=False,
+                             num_workers=d.get("num_workers", 8))
+
+    sample = next(iter(test_loader))
+    params = load_pretrained(cfg)
+    state, frozen = task.init(jax.random.PRNGKey(seed), device_batch(sample),
+                              params=params)
+
+    ckpt_path = cfg.get("ckpt_path")
+    if not cfg.get("disable_ckpt") and ckpt_path:
+        ckpt = CheckpointManager(ckpt_path)
+        tag = "best" if (Path(ckpt_path) / "best").exists() else "last"
+        state = ckpt.restore(tag, state)
+        try:
+            frozen = ckpt.restore_frozen(frozen)
+        except Exception:
+            log.info("no frozen params in checkpoint; using converted/init")
+
+    trainer = Trainer(task=task, mesh=mesh,
+                      output_dir=cfg["paths"]["output_dir"],
+                      limit_batches=t.get("limit_batches"))
+    result = trainer.test(state, frozen, test_loader, use_best=False)
+    if cfg.get("predict", True):
+        out_dir = Path(cfg["paths"]["output_dir"]) / "output_masks"
+        trainer.predict(state, frozen, test_loader, save_dir=out_dir,
+                        use_best=False)
+        result["output_masks_dir"] = str(out_dir)
+    log.info(f"done: {result}")
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,177 @@
+"""Training entry point.
+
+Usage (same override grammar as the reference's Hydra CLI — SURVEY §3.1):
+
+    python -m tunevlseg_tpu.train experiment=coop/clipseg \
+        ds_name=kvasir_polyp prompt_index=0 paths.data_root=/data
+
+Builds datasets/loaders, the model + freeze spec from the `model` group,
+the mesh from `trainer`, then runs fit -> test(best) -> predict, mirroring
+reference src/train.py:56-137.
+"""
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tunevlseg_tpu.config.composer import compose
+from tunevlseg_tpu.data.datasets import ImageTextMaskDataset
+from tunevlseg_tpu.data.pipeline import DataLoader
+from tunevlseg_tpu.data.tokenizer import load_default_tokenizer
+from tunevlseg_tpu.data.transforms import eval_transforms, train_transforms
+from tunevlseg_tpu.models.presets import build_clipseg, clipseg_rd64_config
+from tunevlseg_tpu.ops.losses import LOSS_REGISTRY
+from tunevlseg_tpu.parallel import mesh as mesh_lib
+from tunevlseg_tpu.training.loop import EarlyStopping, Trainer
+from tunevlseg_tpu.training.optim import ReduceLROnPlateau
+from tunevlseg_tpu.training.task import SegmentationTask
+from tunevlseg_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+CONFIG_DIR = Path(__file__).resolve().parents[1] / "configs"
+
+
+def build_datasets(cfg: dict, tokenizer) -> dict[str, Any]:
+    d = cfg["data"]
+    common = dict(image_dir=d["image_dir"], mask_dir=d["mask_dir"],
+                  prompt_index=cfg["prompt_index"],
+                  override_prompt=cfg.get("override_prompt"),
+                  insert_stop_at_last=cfg.get("insert_stop_at_last", True),
+                  tokenizer=tokenizer, max_length=cfg.get("max_length", 77),
+                  tokenizer_style=d.get("tokenizer_style", "hf"),
+                  seed=cfg.get("seed", 0))
+    img = cfg["img_size"]
+    mean, std = cfg["img_mean"], cfg["img_std"]
+    return {
+        "train": ImageTextMaskDataset(
+            task_path=d["train_task_path"],
+            transforms=train_transforms(img, mean, std), **common),
+        "val": ImageTextMaskDataset(
+            task_path=d["val_task_path"],
+            transforms=eval_transforms(img, mean, std), **common),
+        "test": ImageTextMaskDataset(
+            task_path=d["test_task_path"],
+            transforms=eval_transforms(img, mean, std), **common),
+    }
+
+
+def build_model_and_task(cfg: dict, tokenizer=None):
+    m = cfg["model"]
+    if m.get("family", "clipseg") != "clipseg":
+        raise NotImplementedError(f"model family {m['family']}")
+    dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}[
+        cfg["trainer"].get("precision", "f32")]
+
+    init_emb = None
+    if m.get("context_initializer") and tokenizer is not None and \
+            cfg.get("pretrained_checkpoint"):
+        # embedded through the frozen token embedding after conversion —
+        # filled in by load_pretrained below
+        pass
+
+    config = clipseg_rd64_config(m.get("complex_head", False))
+    if cfg.get("tiny_model"):  # test/debug hook
+        from tunevlseg_tpu.models.clip.config import CLIPSegConfig
+        config = CLIPSegConfig.tiny()
+
+    model, spec = build_clipseg(
+        strategy=m.get("strategy", "coop"),
+        prompt_depth=m.get("prompt_depth", 1),
+        num_context=m.get("num_context", 4),
+        config=config,
+        use_new_last_layer=m.get("use_new_last_layer", True),
+        freeze_all=m.get("freeze_all", True),
+        no_freeze_last_layer=m.get("no_freeze_last_layer", False),
+        dtype=dtype,
+        learner_overrides=m.get("learner"),
+        initializer_embeddings=init_emb,
+    )
+
+    loss_cfg = dict(m.get("loss_fn", {"name": "dice_ce"}))
+    loss_fn = LOSS_REGISTRY[loss_cfg.pop("name")]
+    opt = m.get("optimizer", {})
+    task = SegmentationTask(
+        model, spec, loss_fn=loss_fn, loss_kwargs=loss_cfg,
+        threshold=m.get("threshold", 0.5),
+        learning_rate=opt.get("lr", 2e-4),
+        weight_decay=m.get("weight_decay", 0.0),
+        grad_clip_norm=cfg["trainer"].get("gradient_clip_val"))
+    return model, task
+
+
+def load_pretrained(cfg: dict):
+    """Load + convert a torch CLIPSeg checkpoint if configured."""
+    path = cfg.get("pretrained_checkpoint")
+    if not path:
+        return None
+    from tunevlseg_tpu.convert.clipseg import load_checkpoint_params
+    m = cfg["model"]
+    config = clipseg_rd64_config(m.get("complex_head", False))
+    return load_checkpoint_params(path, config, m.get("strategy"))
+
+
+def main(argv: Optional[list[str]] = None) -> dict:
+    overrides = argv if argv is not None else sys.argv[1:]
+    cfg = compose(CONFIG_DIR, "train", overrides)
+
+    seed = cfg.get("seed", 0)
+    tokenizer = load_default_tokenizer(cfg.get("vocab_path"))
+    datasets = build_datasets(cfg, tokenizer)
+    model, task = build_model_and_task(cfg, tokenizer)
+
+    t = cfg["trainer"]
+    mesh = mesh_lib.make_mesh(t.get("n_devices"),
+                              t.get("model_parallel", 1))
+    d = cfg["data"]
+    loaders = {
+        split: DataLoader(ds, d["batch_size"], shuffle=(split == "train"),
+                          seed=seed, num_workers=d.get("num_workers", 8),
+                          drop_last=d.get("drop_last", False))
+        for split, ds in datasets.items()
+    }
+
+    sample = next(iter(loaders["val"]))
+    from tunevlseg_tpu.data.pipeline import device_batch
+    params = load_pretrained(cfg)
+    state, frozen = task.init(jax.random.PRNGKey(seed),
+                              device_batch(sample), params=params)
+
+    sched_cfg = cfg["model"].get("scheduler") or {}
+    scheduler = None
+    if sched_cfg.get("name") == "plateau":
+        scheduler = ReduceLROnPlateau(
+            factor=sched_cfg.get("factor", 0.2),
+            patience=sched_cfg.get("patience", 5),
+            mode=sched_cfg.get("mode", "min"))
+
+    es_cfg = t.get("early_stopping") or {}
+    trainer = Trainer(
+        task=task, mesh=mesh, output_dir=cfg["paths"]["output_dir"],
+        max_epochs=t.get("max_epochs", 20), min_epochs=t.get("min_epochs", 1),
+        log_every_n_steps=t.get("log_every_n_steps", 6),
+        scheduler=scheduler,
+        early_stopping=EarlyStopping(
+            patience=es_cfg.get("patience", 12),
+            min_delta=es_cfg.get("min_delta", 1e-4)),
+        limit_batches=t.get("limit_batches"))
+
+    result: dict[str, Any] = {}
+    if cfg.get("train", True):
+        state = trainer.fit(state, frozen, loaders["train"], loaders["val"])
+    if cfg.get("test", True):
+        result.update(trainer.test(state, frozen, loaders["test"]))
+    if cfg.get("predict", False):
+        out_dir = Path(cfg["paths"]["output_dir"]) / "output_masks"
+        trainer.predict(state, frozen, loaders["test"], save_dir=out_dir)
+        result["output_masks_dir"] = str(out_dir)
+    log.info(f"done: {result}")
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""Orbax checkpointing: best/last management + resume.
+
+Replaces Lightning's ModelCheckpoint (reference configs/callbacks/
+default.yaml:8-14 — monitor val_dice max, save_last) with async orbax saves
+of {trainable, opt_state, step, epoch, frozen_hash} plus a `meta.json`.
+Frozen params are NOT duplicated per checkpoint: they are written once per
+run (they never change during prompt tuning)."""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str | Path, monitor: str = "val_dice",
+                 mode: str = "max", save_last: bool = True):
+        self.dir = Path(directory)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.monitor = monitor
+        self.mode = mode
+        self.save_last = save_last
+        self.best_value: Optional[float] = None
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _is_better(self, value: float) -> bool:
+        if self.best_value is None:
+            return True
+        return value > self.best_value if self.mode == "max" else \
+            value < self.best_value
+
+    def save_frozen(self, frozen: Any) -> None:
+        path = self.dir / "frozen"
+        if not path.exists():
+            self._ckptr.save(path.resolve(), frozen)
+            self._ckptr.wait_until_finished()
+
+    def save(self, tag: str, state: Any, extra: dict) -> None:
+        path = (self.dir / tag).resolve()
+        payload = {"trainable": state.trainable, "opt_state": state.opt_state,
+                   "step": state.step}
+        if path.exists():
+            import shutil
+            shutil.rmtree(path)
+        self._ckptr.save(path, payload)
+        self._ckptr.wait_until_finished()
+        (self.dir / f"{tag}.json").write_text(json.dumps(extra, default=float))
+
+    def maybe_save_best(self, state: Any, metrics: dict, epoch: int) -> bool:
+        value = float(metrics[self.monitor])
+        improved = self._is_better(value)
+        if improved:
+            self.best_value = value
+            self.save("best", state, {"epoch": epoch, **{
+                k: float(v) for k, v in metrics.items()}})
+        if self.save_last:
+            self.save("last", state, {"epoch": epoch, **{
+                k: float(v) for k, v in metrics.items()}})
+        return improved
+
+    def restore(self, tag: str, state_like: Any) -> Any:
+        path = (self.dir / tag).resolve()
+        payload = {"trainable": state_like.trainable,
+                   "opt_state": state_like.opt_state,
+                   "step": state_like.step}
+        restored = self._ckptr.restore(path, payload)
+        return state_like._replace(trainable=restored["trainable"],
+                                   opt_state=restored["opt_state"],
+                                   step=restored["step"])
+
+    def restore_frozen(self, frozen_like: Any) -> Any:
+        return self._ckptr.restore((self.dir / "frozen").resolve(),
+                                   frozen_like)

@@ -1,0 +1,175 @@
+"""The fit/evaluate/predict driver — the reference's `src/train.py` +
+Lightning Trainer loop collapsed into explicit JAX code.
+
+Responsibilities mirrored from the reference (src/train.py:56-137,
+image_text_mask_module.py): epoch loop with val after each train epoch,
+stepwise metric logging, ReduceLROnPlateau on val_loss, early stopping
+(patience on val_loss), best-val_dice checkpointing, final test + optional
+prediction-mask saving at original resolution."""
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any, Callable, Optional
+
+import jax
+import numpy as np
+
+from tunevlseg_tpu.data.pipeline import DataLoader, device_batch
+from tunevlseg_tpu.ops.metrics import SegMetricState, compute
+from tunevlseg_tpu.parallel import mesh as mesh_lib
+from tunevlseg_tpu.training.checkpoint import CheckpointManager
+from tunevlseg_tpu.training.optim import (ReduceLROnPlateau,
+                                          get_learning_rate,
+                                          set_learning_rate)
+from tunevlseg_tpu.training.task import SegmentationTask
+from tunevlseg_tpu.utils.logging import MetricLogger, get_logger
+
+log = get_logger(__name__)
+
+
+@dataclasses.dataclass
+class EarlyStopping:
+    """Lightning EarlyStopping semantics (configs/callbacks/default.yaml:16-20:
+    monitor val_loss, patience 12, min_delta 1e-4, mode min)."""
+
+    patience: int = 12
+    min_delta: float = 1e-4
+    mode: str = "min"
+    best: Optional[float] = None
+    count: int = 0
+
+    def should_stop(self, value: float) -> bool:
+        improved = (self.best is None
+                    or (value < self.best - self.min_delta
+                        if self.mode == "min"
+                        else value > self.best + self.min_delta))
+        if improved:
+            self.best = value
+            self.count = 0
+        else:
+            self.count += 1
+        return self.count >= self.patience
+
+
+@dataclasses.dataclass
+class Trainer:
+    task: SegmentationTask
+    mesh: Any
+    output_dir: Path
+    max_epochs: int = 20
+    min_epochs: int = 1
+    log_every_n_steps: int = 6
+    monitor: str = "val_dice"
+    scheduler: Optional[ReduceLROnPlateau] = None
+    early_stopping: Optional[EarlyStopping] = None
+    limit_batches: Optional[int] = None  # debug (fdr/limit configs)
+
+    def __post_init__(self):
+        self.output_dir = Path(self.output_dir)
+        self.ckpt = CheckpointManager(self.output_dir / "checkpoints",
+                                      monitor=self.monitor)
+        self.metrics_log = MetricLogger(self.output_dir)
+        self._train_step, self._eval_step, self._predict_step = \
+            self.task.compile_steps(self.mesh)
+
+    # ---------------------------------------------------------------
+
+    def _run_eval(self, state, frozen, loader: DataLoader, prefix: str):
+        mstate = mesh_lib.replicate(self.mesh, SegMetricState.zeros())
+        loss_sum, n = 0.0, 0.0
+        for i, batch in enumerate(loader):
+            if self.limit_batches is not None and i >= self.limit_batches:
+                break
+            sharded = mesh_lib.shard_batch(self.mesh, device_batch(batch))
+            mstate, extra = self._eval_step(state, frozen, mstate, sharded)
+            loss_sum += float(extra["loss_sum"])
+            n += float(extra["n"])
+        result = {f"{prefix}_{k}": float(v)
+                  for k, v in compute(mstate).items()}
+        result[f"{prefix}_loss"] = loss_sum / max(n, 1.0)
+        return result
+
+    def fit(self, state, frozen, train_loader: DataLoader,
+            val_loader: Optional[DataLoader] = None):
+        frozen = mesh_lib.replicate(self.mesh, frozen)
+        state = mesh_lib.replicate(self.mesh, state)
+        self.ckpt.save_frozen(frozen)
+
+        global_step = int(state.step)
+        for epoch in range(self.max_epochs):
+            train_loader.set_epoch(epoch)
+            for i, batch in enumerate(train_loader):
+                if self.limit_batches is not None and i >= self.limit_batches:
+                    break
+                sharded = mesh_lib.shard_batch(self.mesh, device_batch(batch))
+                state, m = self._train_step(state, frozen, sharded)
+                global_step += 1
+                if global_step % self.log_every_n_steps == 0:
+                    self.metrics_log.log(m, global_step, prefix="train_")
+
+            epoch_metrics: dict[str, float] = {"epoch": epoch}
+            if val_loader is not None:
+                epoch_metrics.update(
+                    self._run_eval(state, frozen, val_loader, "val"))
+                self.metrics_log.log(epoch_metrics, global_step)
+                self.ckpt.maybe_save_best(state, epoch_metrics, epoch)
+
+                val_loss = epoch_metrics["val_loss"]
+                if self.scheduler is not None:
+                    lr = get_learning_rate(state.opt_state)
+                    new_lr = self.scheduler.step(val_loss, lr)
+                    if new_lr != lr:
+                        log.info(f"plateau: lr {lr:.2e} -> {new_lr:.2e}")
+                        state = state._replace(opt_state=set_learning_rate(
+                            state.opt_state, new_lr))
+                if (self.early_stopping is not None
+                        and epoch + 1 >= self.min_epochs
+                        and self.early_stopping.should_stop(val_loss)):
+                    log.info(f"early stopping at epoch {epoch}")
+                    break
+            else:
+                self.ckpt.save("last", state, {"epoch": epoch})
+        return state
+
+    def test(self, state, frozen, test_loader: DataLoader,
+             use_best: bool = True):
+        frozen = mesh_lib.replicate(self.mesh, frozen)
+        if use_best and (self.ckpt.dir / "best").exists():
+            state = self.ckpt.restore("best", state)
+        result = self._run_eval(state, frozen, test_loader, "test")
+        self.metrics_log.log(result, int(state.step))
+        return result
+
+    def predict(self, state, frozen, loader: DataLoader,
+                save_dir: Optional[Path] = None,
+                use_best: bool = True) -> list[dict]:
+        """Runs predict steps; optionally saves masks restored to each
+        sample's original resolution (reference src/utils/save_utils.py)."""
+        import cv2
+
+        frozen = mesh_lib.replicate(self.mesh, frozen)
+        if use_best and (self.ckpt.dir / "best").exists():
+            state = self.ckpt.restore("best", state)
+        outputs = []
+        for batch in loader:
+            sharded = mesh_lib.shard_batch(self.mesh, device_batch(batch))
+            preds = np.asarray(self._predict_step(state, frozen, sharded))
+            for j in range(len(batch["mask_name"])):
+                if batch["valid"][j] == 0:
+                    continue
+                rec = {"pred": preds[j, 0],
+                       "mask_name": batch["mask_name"][j],
+                       "mask_shape": batch["mask_shape"][j]}
+                outputs.append(rec)
+                if save_dir is not None:
+                    save_dir = Path(save_dir)
+                    h, w = (int(x) for x in rec["mask_shape"])
+                    resized = cv2.resize(rec["pred"], (w, h),
+                                         interpolation=cv2.INTER_CUBIC)
+                    out_path = save_dir / rec["mask_name"]
+                    out_path.parent.mkdir(parents=True, exist_ok=True)
+                    resized = np.nan_to_num(np.clip(resized, 0, 1))
+                    cv2.imwrite(str(out_path),
+                                (resized * 255).astype(np.uint8))
+        return outputs

@@ -65,12 +65,17 @@ class SegmentationTask:
 
     def init(self, rng: jax.Array, batch: dict,
              params: Optional[Any] = None) -> tuple[TrainState, Any]:
-        """Returns (state, frozen_params). `params` may be a converted
-        checkpoint pytree; otherwise random init."""
+        """Returns (state, frozen_params). `params` may be a (possibly
+        partial) converted checkpoint pytree overlaid on the random init —
+        e.g. a converted HF backbone with a freshly initialized learner."""
+        random_params = self.model.init(
+            rng, batch["input_ids"], batch["image"],
+            batch.get("attention_mask"))["params"]
         if params is None:
-            params = self.model.init(
-                rng, batch["input_ids"], batch["image"],
-                batch.get("attention_mask"))["params"]
+            params = random_params
+        else:
+            from tunevlseg_tpu.config.composer import deep_merge
+            params = deep_merge(dict(random_params), params)
         trainable, frozen = optim_lib.partition_params(params, self.freeze_spec)
         opt_state = self.tx.init(trainable)
         state = TrainState(jnp.zeros((), jnp.int32), trainable, opt_state,

@@ -121,3 +121,26 @@ def test_full_train_eval_cycle(synth_root, tmp_path):
     assert "test_dice" in eval_result
     np.testing.assert_allclose(eval_result["test_dice"],
                                result["test_dice"], atol=1e-5)
+
+
+def test_cris_train_cycle(synth_root, tmp_path):
+    """CRIS family end-to-end on synthetic data (tiny config)."""
+    from tunevlseg_tpu import train as train_mod
+
+    out = tmp_path / "logs"
+    result = train_mod.main([
+        "experiment=coop/cris",
+        "ds_name=kvasir_polyp",
+        f"paths.data_root={synth_root}",
+        f"paths.log_dir={out}",
+        f"vocab_path={VOCAB}",
+        "img_size=64",
+        "+tiny_model=true",
+        "data.batch_size=4",
+        "data.num_workers=2",
+        "trainer=debug",
+        "trainer.n_devices=2",
+        "predict=false",
+        "exp_name=cris_smoke",
+    ])
+    assert "test_dice" in result and 0 <= result["test_dice"] <= 1

@@ -1,0 +1,226 @@
+"""CLIP ModifiedResNet (RN50) in Flax — the CRIS image tower.
+
+Reference: src/models/components/cris_model/clip.py:18-274 (Bottleneck with
+anti-aliased stride, 3-conv stem, CRIS-variant AttentionPool2d that keeps the
+spatial map, adds a conv+BN residual `connect`, and bicubic-resizes its
+positional embedding). Returns the (C3, C4, C5') feature pyramid.
+
+BatchNorm: running statistics live in the `batch_stats` collection;
+`use_running_average` is threaded from the model root (True for the frozen
+prompt-tuning benchmark; False trains the stats like torch train mode).
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from tunevlseg_tpu.nn.attention import xla_attention
+from tunevlseg_tpu.nn.conv import Conv2d, conv2d
+from tunevlseg_tpu.ops.image import resize_2d
+
+Dtype = Any
+
+
+class BatchNorm2d(nn.Module):
+    """torch BatchNorm2d semantics on NCHW (momentum 0.1, eps 1e-5)."""
+
+    features: int
+    use_running_average: bool = True
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param("weight", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable("batch_stats", "running_mean",
+                                lambda: jnp.zeros((self.features,)))
+        ra_var = self.variable("batch_stats", "running_var",
+                               lambda: jnp.ones((self.features,)))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            x32 = x.astype(jnp.float32)
+            axes = (0, 2, 3)
+            mean = jnp.mean(x32, axes)
+            var = jnp.var(x32, axes)
+            if not self.is_initializing():
+                n = x.shape[0] * x.shape[2] * x.shape[3]
+                unbiased = var * n / max(n - 1, 1)
+                ra_mean.value = (1 - self.momentum) * ra_mean.value \
+                    + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value \
+                    + self.momentum * unbiased
+        shape = (1, -1, 1, 1)
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        out = (x.astype(jnp.float32) - mean.reshape(shape)) * inv.reshape(shape)
+        out = out * scale.reshape(shape) + bias.reshape(shape)
+        return out.astype(x.dtype)
+
+
+class BatchNorm1d(nn.Module):
+    """torch BatchNorm1d on (B, C)."""
+
+    features: int
+    use_running_average: bool = True
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param("weight", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable("batch_stats", "running_mean",
+                                lambda: jnp.zeros((self.features,)))
+        ra_var = self.variable("batch_stats", "running_var",
+                               lambda: jnp.ones((self.features,)))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            x32 = x.astype(jnp.float32)
+            mean = jnp.mean(x32, 0)
+            var = jnp.var(x32, 0)
+            if not self.is_initializing():
+                n = x.shape[0]
+                unbiased = var * n / max(n - 1, 1)
+                ra_mean.value = (1 - self.momentum) * ra_mean.value \
+                    + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value \
+                    + self.momentum * unbiased
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        out = (x.astype(jnp.float32) - mean) * inv * scale + bias
+        return out.astype(x.dtype)
+
+
+def avg_pool_nchw(x: jnp.ndarray, window: int) -> jnp.ndarray:
+    """nn.AvgPool2d(window) on NCHW (stride == window)."""
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add,
+        (1, 1, window, window), (1, 1, window, window), "VALID",
+    ) / (window * window)
+
+
+class Bottleneck(nn.Module):
+    inplanes: int
+    planes: int
+    stride: int = 1
+    use_running_average: bool = True
+    dtype: Dtype = jnp.float32
+
+    EXPANSION = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ura = self.use_running_average
+        out = Conv2d(self.inplanes, self.planes, 1, use_bias=False,
+                     dtype=self.dtype, name="conv1")(x)
+        out = nn.relu(BatchNorm2d(self.planes, ura, name="bn1")(out))
+        out = Conv2d(self.planes, self.planes, 3, padding=1, use_bias=False,
+                     dtype=self.dtype, name="conv2")(out)
+        out = nn.relu(BatchNorm2d(self.planes, ura, name="bn2")(out))
+        if self.stride > 1:
+            out = avg_pool_nchw(out, self.stride)
+        out = Conv2d(self.planes, self.planes * self.EXPANSION, 1,
+                     use_bias=False, dtype=self.dtype, name="conv3")(out)
+        out = BatchNorm2d(self.planes * self.EXPANSION, ura, name="bn3")(out)
+
+        identity = x
+        if self.stride > 1 or self.inplanes != self.planes * self.EXPANSION:
+            identity = x if self.stride == 1 else avg_pool_nchw(x, self.stride)
+            identity = Conv2d(self.inplanes, self.planes * self.EXPANSION, 1,
+                              use_bias=False, dtype=self.dtype,
+                              name="downsample_conv")(identity)
+            identity = BatchNorm2d(self.planes * self.EXPANSION, ura,
+                                   name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class AttentionPool2d(nn.Module):
+    """CRIS variant (clip.py:78-182): spatial self-attention over the C5 map
+    with bicubic-resized positional embedding and a conv+BN residual; returns
+    a (B, output_dim, H, W) map (no CLS pooling)."""
+
+    spacial_dim: int
+    embed_dim: int
+    num_heads: int
+    output_dim: int
+    use_running_average: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, c, h, w = x.shape
+        res = Conv2d(self.embed_dim, self.output_dim, 1, use_bias=False,
+                     dtype=self.dtype, name="connect_conv")(x)
+        res = BatchNorm2d(self.output_dim, self.use_running_average,
+                          name="connect_bn")(res)
+
+        pos = self.param("positional_embedding",
+                         nn.initializers.normal(self.embed_dim ** -0.5),
+                         (self.spacial_dim ** 2 + 1, self.embed_dim))
+        # drop the CLS slot; bicubic-resize the spatial grid to (h, w)
+        grid = jnp.asarray(pos[1:], jnp.float32).reshape(
+            self.spacial_dim, self.spacial_dim, self.embed_dim
+        ).transpose(2, 0, 1)
+        grid = resize_2d(grid, (h, w), "bicubic")
+        pos_hw = grid.reshape(self.embed_dim, h * w).T  # (hw, C)
+
+        seq = x.reshape(b, c, h * w).transpose(0, 2, 1)   # (B, hw, C)
+        seq = seq + pos_hw[None].astype(seq.dtype)
+
+        dense = lambda feats, name: nn.Dense(feats, dtype=self.dtype, name=name)
+        q = dense(self.embed_dim, "q_proj")(seq)
+        k = dense(self.embed_dim, "k_proj")(seq)
+        v = dense(self.embed_dim, "v_proj")(seq)
+        hd = self.embed_dim // self.num_heads
+        split = lambda t: t.reshape(b, h * w, self.num_heads, hd)
+        attn = xla_attention(split(q), split(k), split(v))
+        attn = attn.reshape(b, h * w, self.embed_dim)
+        out = dense(self.output_dim, "c_proj")(attn)
+        out = out.transpose(0, 2, 1).reshape(b, self.output_dim, h, w)
+        return nn.relu(out + res)
+
+
+class ModifiedResNet(nn.Module):
+    layers: Sequence[int] = (3, 4, 6, 3)          # RN50
+    output_dim: int = 1024
+    heads: int = 32
+    input_resolution: int = 224
+    width: int = 64
+    use_running_average: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        """(B, 3, H, W) -> (C3, C4, C5') with strides 8/16/32."""
+        ura = self.use_running_average
+        w = self.width
+        for i, (cin, cout) in enumerate(((3, w // 2), (w // 2, w // 2),
+                                         (w // 2, w))):
+            x = Conv2d(cin, cout, 3, stride=2 if i == 0 else 1, padding=1,
+                       use_bias=False, dtype=self.dtype, name=f"conv{i+1}")(x)
+            x = nn.relu(BatchNorm2d(cout, ura, name=f"bn{i+1}")(x))
+        x = avg_pool_nchw(x, 2)
+
+        inplanes = w
+        feats = []
+        for stage, (planes, blocks) in enumerate(
+                zip((w, w * 2, w * 4, w * 8), self.layers), start=1):
+            stride = 1 if stage == 1 else 2
+            for b in range(blocks):
+                x = Bottleneck(inplanes, planes, stride if b == 0 else 1,
+                               ura, dtype=self.dtype,
+                               name=f"layer{stage}_{b}")(x)
+                inplanes = planes * Bottleneck.EXPANSION
+            feats.append(x)
+
+        c5 = AttentionPool2d(self.input_resolution // 32, w * 32, self.heads,
+                             self.output_dim, ura, dtype=self.dtype,
+                             name="attnpool")(feats[3])
+        return feats[1], feats[2], c5

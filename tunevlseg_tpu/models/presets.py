@@ -55,6 +55,65 @@ def default_learner_kwargs(strategy: str, cfg: CLIPSegConfig) -> dict:
     }[strategy]
 
 
+def cris_rn50_config(img_size: int = 416) -> "CRISConfig":
+    """The canonical CRIS recipe: CLIP RN50 + FPN/decoder/projector head
+    (reference configs/model/coop/cris.yaml:5-18)."""
+    from tunevlseg_tpu.models.cris.model import CRISConfig
+
+    return CRISConfig(img_size=img_size)
+
+
+def build_cris(
+    strategy: Optional[str] = "coop",
+    prompt_depth: int = 1,
+    num_context: int = 4,
+    config=None,
+    use_new_last_layer: bool = True,
+    freeze_all: bool = True,
+    no_freeze_last_layer: bool = False,
+    dtype: Any = jnp.float32,
+    learner_overrides: Optional[dict] = None,
+    initializer_embeddings=None,
+):
+    """CRIS + CoOp/CoCoOp (the only strategies the reference wires to CRIS).
+
+    The learner's context width is the TEXT transformer width (the reference
+    passes word_dim but only ever runs with a text initializer whose
+    embeddings are transformer-width — coop_cris.py:42-47)."""
+    from tunevlseg_tpu.models.cris.model import CRISConfig, CRISForSegmentation
+    from tunevlseg_tpu.models.prompt.learners import CoCoOpLearner, CoOpLearner
+
+    cfg = config or cris_rn50_config()
+    learner = None
+    if strategy not in (None, "e2e"):
+        common = dict(prompt_depth=prompt_depth, num_context=num_context,
+                      context_dim=cfg.transformer_width, dtype=dtype,
+                      initializer_embeddings=initializer_embeddings)
+        if strategy == "coop":
+            learner = CoOpLearner(**common)
+        elif strategy == "cocoop":
+            learner = CoCoOpLearner(
+                visual_dim=cfg.embed_dim, norm_image_features=False,
+                use_unified_projection=False, intermediate_dims=(64,),
+                use_proj_norm=True, **{**common,
+                                       **(learner_overrides or {})})
+        else:
+            raise ValueError(f"CRIS supports coop/cocoop, got {strategy}")
+        learner.check_depth(prompt_depth, cfg.transformer_layers)
+    model = CRISForSegmentation(
+        cfg, learner=learner,
+        additive_mode=("residual" if use_new_last_layer
+                       and strategy not in (None, "e2e") else "none"),
+        dtype=dtype)
+    spec = FreezeSpec(
+        freeze_all=freeze_all if strategy not in (None, "e2e") else False,
+        freeze_encoder=strategy in (None, "e2e"),  # CRIS default: frozen CLIP
+        no_freeze_last_layer=no_freeze_last_layer,
+        use_new_last_layer=use_new_last_layer and strategy not in (None, "e2e"),
+        family="cris")
+    return model, spec
+
+
 def build_clipseg(
     strategy: Optional[str] = "coop",
     prompt_depth: int = 1,

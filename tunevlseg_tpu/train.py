@@ -62,35 +62,37 @@ def build_datasets(cfg: dict, tokenizer) -> dict[str, Any]:
 
 def build_model_and_task(cfg: dict, tokenizer=None):
     m = cfg["model"]
-    if m.get("family", "clipseg") != "clipseg":
-        raise NotImplementedError(f"model family {m['family']}")
+    family = m.get("family", "clipseg")
     dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}[
         cfg["trainer"].get("precision", "f32")]
 
-    init_emb = None
-    if m.get("context_initializer") and tokenizer is not None and \
-            cfg.get("pretrained_checkpoint"):
-        # embedded through the frozen token embedding after conversion —
-        # filled in by load_pretrained below
-        pass
-
-    config = clipseg_rd64_config(m.get("complex_head", False))
-    if cfg.get("tiny_model"):  # test/debug hook
-        from tunevlseg_tpu.models.clip.config import CLIPSegConfig
-        config = CLIPSegConfig.tiny()
-
-    model, spec = build_clipseg(
+    common = dict(
         strategy=m.get("strategy", "coop"),
         prompt_depth=m.get("prompt_depth", 1),
         num_context=m.get("num_context", 4),
-        config=config,
         use_new_last_layer=m.get("use_new_last_layer", True),
         freeze_all=m.get("freeze_all", True),
         no_freeze_last_layer=m.get("no_freeze_last_layer", False),
         dtype=dtype,
         learner_overrides=m.get("learner"),
-        initializer_embeddings=init_emb,
     )
+    if family == "clipseg":
+        config = clipseg_rd64_config(m.get("complex_head", False))
+        if cfg.get("tiny_model"):  # test/debug hook
+            from tunevlseg_tpu.models.clip.config import CLIPSegConfig
+            config = CLIPSegConfig.tiny()
+        model, spec = build_clipseg(config=config, **common)
+    elif family == "cris":
+        from tunevlseg_tpu.models.presets import build_cris, cris_rn50_config
+        config = cris_rn50_config(cfg.get("img_size", 416))
+        if cfg.get("tiny_model"):
+            from tunevlseg_tpu.models.cris.model import CRISConfig
+            config = CRISConfig.tiny(img_size=cfg.get("img_size", 64))
+        common.pop("learner_overrides")
+        model, spec = build_cris(config=config,
+                                 learner_overrides=m.get("learner"), **common)
+    else:
+        raise NotImplementedError(f"model family {family}")
 
     loss_cfg = dict(m.get("loss_fn", {"name": "dice_ce"}))
     loss_fn = LOSS_REGISTRY[loss_cfg.pop("name")]

@@ -41,20 +41,33 @@ class FreezeSpec:
     no_freeze_last_layer: bool = False
     use_new_last_layer: bool = False
     complex_head: bool = False
+    family: str = "clipseg"  # "clipseg" | "cris"
+
+    def _last_layer_paths(self) -> tuple[tuple[str, ...], ...]:
+        if self.family == "cris":
+            # unfreeze proj.txt + proj.vis[-1] (coop_cris.py:89-94)
+            return (("proj", "txt"), ("proj", "vis_4"))
+        return ((("decoder", "head_up2") if self.complex_head
+                 else ("decoder", "head_up")),)
 
     def path_trainable(self, path: tuple[str, ...]) -> bool:
         top = path[0]
         if top == "learner":
             return True
-        if top in ("additive_head", "residual_ratio"):
+        if top in ("additive_head", "additive_conv1", "additive_conv2",
+                   "residual_ratio"):
             # exist only when use_new_last_layer; trainable then
             return True
         if self.freeze_all:
             if self.no_freeze_last_layer and not self.use_new_last_layer:
-                last = ("decoder", "head_up2") if self.complex_head else \
-                       ("decoder", "head_up")
-                return path[:2] == last
+                return any(path[:len(p)] == p
+                           for p in self._last_layer_paths())
             return False
+        if self.family == "cris":
+            # CRIS e2e: backbone frozen by freeze_encoder; head trains
+            if top in ("visual", "text"):
+                return not self.freeze_encoder
+            return True
         if top == "decoder":
             return not self.freeze_decoder
         return not self.freeze_encoder  # towers + projections ("clip")

@@ -64,19 +64,30 @@ class SegmentationTask:
     # -- init ---------------------------------------------------------------
 
     def init(self, rng: jax.Array, batch: dict,
-             params: Optional[Any] = None) -> tuple[TrainState, Any]:
-        """Returns (state, frozen_params). `params` may be a (possibly
-        partial) converted checkpoint pytree overlaid on the random init —
-        e.g. a converted HF backbone with a freshly initialized learner."""
-        random_params = self.model.init(
+             params: Optional[Any] = None,
+             variables: Optional[Any] = None) -> tuple[TrainState, Any]:
+        """Returns (state, frozen). `frozen` is a dict of variable
+        collections: {"params": <frozen param tree>, **extras} where extras
+        are non-trainable collections like CRIS's `batch_stats`.
+
+        `params`/`variables` may come from a converted checkpoint; a partial
+        `params` tree is overlaid on the random init (e.g. a converted HF
+        backbone + freshly initialized learner)."""
+        from tunevlseg_tpu.config.composer import deep_merge
+
+        init_vars = dict(self.model.init(
             rng, batch["input_ids"], batch["image"],
-            batch.get("attention_mask"))["params"]
+            batch.get("attention_mask")))
+        random_params = init_vars.pop("params")
         if params is None:
             params = random_params
         else:
-            from tunevlseg_tpu.config.composer import deep_merge
             params = deep_merge(dict(random_params), params)
-        trainable, frozen = optim_lib.partition_params(params, self.freeze_spec)
+        if variables:
+            init_vars = deep_merge(dict(init_vars), dict(variables))
+        trainable, frozen_params = optim_lib.partition_params(
+            params, self.freeze_spec)
+        frozen = {"params": frozen_params, **init_vars}
         opt_state = self.tx.init(trainable)
         state = TrainState(jnp.zeros((), jnp.int32), trainable, opt_state,
                            jax.random.fold_in(rng, 1))
@@ -84,15 +95,21 @@ class SegmentationTask:
 
     # -- steps --------------------------------------------------------------
 
-    def _forward(self, params, batch, rngs=None, deterministic=True):
+    def _forward(self, params, extras, batch, rngs=None, deterministic=True):
         return self.model.apply(
-            {"params": params}, batch["input_ids"], batch["image"],
+            {"params": params, **extras}, batch["input_ids"], batch["image"],
             batch.get("attention_mask"), deterministic=deterministic,
             rngs=rngs)
 
+    @staticmethod
+    def _split_frozen(frozen):
+        extras = {k: v for k, v in frozen.items() if k != "params"}
+        return frozen["params"], extras
+
     def _loss(self, trainable, frozen, batch, rng):
-        params = optim_lib.merge_params(trainable, frozen)
-        logits = self._forward(params, batch, rngs={"dropout": rng},
+        frozen_params, extras = self._split_frozen(frozen)
+        params = optim_lib.merge_params(trainable, frozen_params)
+        logits = self._forward(params, extras, batch, rngs={"dropout": rng},
                                deterministic=False)
         mask = batch["mask"]
         valid = batch.get("valid")
@@ -123,8 +140,9 @@ class SegmentationTask:
 
     def eval_step(self, state: TrainState, frozen,
                   metric_state: metrics_lib.SegMetricState, batch):
-        params = optim_lib.merge_params(state.trainable, frozen)
-        logits = self._forward(params, batch)
+        frozen_params, extras = self._split_frozen(frozen)
+        params = optim_lib.merge_params(state.trainable, frozen_params)
+        logits = self._forward(params, extras, batch)
         mask = batch["mask"]
         valid = batch.get("valid")
         v = None if valid is None else valid
@@ -141,8 +159,9 @@ class SegmentationTask:
         return new_metric_state, {"loss_sum": loss * n, "n": n}
 
     def predict_step(self, state: TrainState, frozen, batch):
-        params = optim_lib.merge_params(state.trainable, frozen)
-        logits = self._forward(params, batch)
+        frozen_params, extras = self._split_frozen(frozen)
+        params = optim_lib.merge_params(state.trainable, frozen_params)
+        logits = self._forward(params, extras, batch)
         return jax.nn.sigmoid(logits.astype(jnp.float32))
 
     # -- jit + sharding -----------------------------------------------------

@@ -1,0 +1,74 @@
+"""Fused-attention kernel vs the XLA reference path (interpret mode on CPU)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tunevlseg_tpu.nn.attention import causal_bias, padding_bias, xla_attention
+from tunevlseg_tpu.ops import flash_attention as fa
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setattr(fa, "_INTERPRET", True)
+
+
+def rand_qkv(rng, b=2, s=485, h=3, d=64, t=None):
+    t = t or s
+    q = rng.normal(size=(b, s, h, d)).astype(np.float32)
+    k = rng.normal(size=(b, t, h, d)).astype(np.float32)
+    v = rng.normal(size=(b, t, h, d)).astype(np.float32)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+def test_no_bias_matches_xla(rng):
+    q, k, v = rand_qkv(rng, s=485)
+    ref = xla_attention(q, k, v)
+    got = fa.flash_attention(q, k, v)
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_causal_plus_padding_bias(rng):
+    b, s = 2, 77
+    q, k, v = rand_qkv(rng, b=b, s=s, h=2, d=32)
+    mask = np.ones((b, s), np.int32)
+    mask[1, 60:] = 0
+    bias = causal_bias(s) + padding_bias(jnp.asarray(mask))
+    ref = xla_attention(q, k, v, bias)
+    got = fa.flash_attention(q, k, v, bias)
+    assert got is not None
+    valid = np.asarray(mask, bool)
+    for i in range(b):
+        np.testing.assert_allclose(np.asarray(got)[i, valid[i]],
+                                   np.asarray(ref)[i, valid[i]],
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_gradients_flow(rng):
+    q, k, v = rand_qkv(rng, b=1, s=64, h=2, d=32)
+
+    def loss_fa(q, k, v):
+        return jnp.sum(fa.flash_attention_p(q, k, v, None) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(xla_attention(q, k, v) ** 2)
+
+    g_fa = jax.grad(loss_fa, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_fa, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-4, rtol=1e-3)
+
+
+def test_bfloat16(rng):
+    q, k, v = rand_qkv(rng, s=128)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    ref = xla_attention(qb, kb, vb)
+    got = fa.flash_attention(qb, kb, vb)
+    assert got is not None
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), atol=5e-2)

@@ -1,15 +1,157 @@
-"""Fused flash-attention Pallas TPU kernel (vision-tower hot shape).
+"""Fused attention Pallas TPU kernel.
 
-Placeholder dispatch for now: returns None so callers fall back to the XLA
-einsum path (nn/attention.py). The fused kernel lands behind the same
-signature; callers never change.
+Targets the framework's hot attention shapes (SURVEY §5.7): the CLIP ViT
+vision tower at 352² input — (B, 485+ctx, 12 heads, 64) — and the text tower
+at 77(+ctx). Sequences are short, so instead of a K-tiled flash loop this is
+a *row-fused* kernel: for each (batch·head, q-block) grid cell the FULL K/V
+(padded to a lane multiple) sits in VMEM and softmax(QKᵀ)V is computed in one
+shot — no S×S score matrix ever reaches HBM. At S=512 that saves ~0.5GB of
+HBM traffic per vision-tower layer invocation at batch 64 versus the
+unfused XLA path.
+
+The backward pass recomputes attention with standard XLA ops (exact same
+math; the backward only runs for visual-prompt strategies where gradients
+flow through the frozen tower to the injected context tokens).
+
+Bias handling: an optional additive bias broadcastable to (B, H, S, T) is
+folded in at f32, matching `nn.attention.xla_attention`. Padded key columns
+are masked with -inf inside the kernel.
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
+import numpy as np
+
+_INTERPRET = False  # flipped by tests on CPU
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def flash_attention_p(q, k, v, bias):
+    return _forward(q, k, v, bias)
+
+
+def _forward(q, k, v, bias):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, s, h, d = q.shape
+    t = k.shape[1]
+    scale = d ** -0.5
+
+    block_q = min(_ceil_to(s, 8), 256)
+    s_pad = _ceil_to(s, block_q)
+    t_pad = _ceil_to(t, 128)
+    d_pad = _ceil_to(d, 128)
+
+    def pad(x, seq_to):
+        return jnp.pad(x, ((0, 0), (0, seq_to - x.shape[1]), (0, 0),
+                           (0, d_pad - d)))
+
+    # (B, S, H, D) -> (B*H, S, D)
+    def fold(x, seq_to):
+        x = pad(x, seq_to)
+        return x.transpose(0, 2, 1, 3).reshape(b * h, seq_to, d_pad)
+
+    qf = fold(q, s_pad)
+    kf = fold(k, t_pad)
+    vf = fold(v, t_pad)
+
+    has_bias = bias is not None
+    if has_bias:
+        bias_full = jnp.broadcast_to(bias, (b, h, s, t)).astype(jnp.float32)
+        bias_full = jnp.pad(bias_full,
+                            ((0, 0), (0, 0), (0, s_pad - s), (0, t_pad - t)))
+        bias_full = bias_full.reshape(b * h, s_pad, t_pad)
+
+    grid = (b * h, s_pad // block_q)
+
+    def kernel(*refs):
+        if has_bias:
+            q_ref, k_ref, v_ref, b_ref, o_ref = refs
+        else:
+            q_ref, k_ref, v_ref, o_ref = refs
+        qb = q_ref[0].astype(jnp.float32)          # (block_q, d_pad)
+        kb = k_ref[0].astype(jnp.float32)          # (t_pad, d_pad)
+        scores = jax.lax.dot_general(
+            qb, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if has_bias:
+            scores = scores + b_ref[0]
+        # mask padded key columns
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col < t, scores, -jnp.inf)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        out = jax.lax.dot_general(
+            p, v_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) / denom
+        o_ref[0] = out.astype(o_ref.dtype)
+
+    in_specs = [
+        pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0)),
+        pl.BlockSpec((1, t_pad, d_pad), lambda i, j: (i, 0, 0)),
+        pl.BlockSpec((1, t_pad, d_pad), lambda i, j: (i, 0, 0)),
+    ]
+    args = [qf, kf, vf]
+    if has_bias:
+        in_specs.append(pl.BlockSpec((1, block_q, t_pad),
+                                     lambda i, j: (i, j, 0)))
+        args.append(bias_full)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, s_pad, d_pad), q.dtype),
+        interpret=_INTERPRET,
+    )(*args)
+
+    out = out.reshape(b, h, s_pad, d_pad).transpose(0, 2, 1, 3)
+    return out[:, :s, :, :d]
+
+
+def _fwd(q, k, v, bias):
+    return _forward(q, k, v, bias), (q, k, v, bias)
+
+
+def _bwd(res, g):
+    q, k, v, bias = res
+    # exact recomputation in XLA (runs only when gradients flow through
+    # the tower — visual-prompt strategies)
+    def ref_attn(q, k, v, bias):
+        from tunevlseg_tpu.nn.attention import xla_attention
+        return xla_attention(q, k, v, bias)
+
+    _, vjp = jax.vjp(ref_attn, q, k, v, bias)
+    dq, dk, dv, dbias = vjp(g)
+    return dq, dk, dv, dbias
+
+
+flash_attention_p.defvjp(_fwd, _bwd)
+
+
+_warned = False
 
 
 def flash_attention(q, k, v, bias: Optional[jnp.ndarray] = None):
-    return None
+    """Returns fused attention output, or None to signal fallback."""
+    global _warned
+    try:
+        return flash_attention_p(q, k, v, bias)
+    except Exception as e:  # fall back to the XLA path, but say so once
+        if not _warned:
+            _warned = True
+            import logging
+            logging.getLogger("tunevlseg").warning(
+                "pallas flash attention unavailable (%s); using XLA path", e)
+        return None

@@ -144,3 +144,25 @@ def test_cris_train_cycle(synth_root, tmp_path):
         "exp_name=cris_smoke",
     ])
     assert "test_dice" in result and 0 <= result["test_dice"] <= 1
+
+
+def test_trans_segmentor_train_cycle(synth_root, tmp_path):
+    from tunevlseg_tpu import train as train_mod
+
+    out = tmp_path / "logs"
+    result = train_mod.main([
+        "model=trans_seg",
+        "ds_name=kvasir_polyp",
+        f"paths.data_root={synth_root}",
+        f"paths.log_dir={out}",
+        f"vocab_path={VOCAB}",
+        "img_size=32",
+        "+tiny_model=true",
+        "data.batch_size=4",
+        "data.num_workers=2",
+        "trainer=debug",
+        "trainer.n_devices=2",
+        "predict=false",
+        "exp_name=ts_smoke",
+    ])
+    assert "test_dice" in result and 0 <= result["test_dice"] <= 1

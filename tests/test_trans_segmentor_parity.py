@@ -1,0 +1,104 @@
+"""TransformerSegmentor parity vs the reference (f64 oracle, tiny CLIPModel)."""
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from tunevlseg_tpu.convert.clipseg import torch_state_dict_to_numpy
+from tunevlseg_tpu.convert.trans_segmentor import convert_trans_segmentor
+from tunevlseg_tpu.models.trans_segmentor.model import (TransformerSegmentor,
+                                                        TransSegmentorConfig)
+
+REFERENCE = Path("/root/reference")
+pytestmark = pytest.mark.skipif(not (REFERENCE / "src").is_dir(),
+                                reason="reference repo not mounted")
+
+
+def tiny_clip_model():
+    from transformers import CLIPConfig, CLIPModel
+    cfg = CLIPConfig(
+        text_config={"vocab_size": 99, "hidden_size": 16,
+                     "num_hidden_layers": 2, "num_attention_heads": 2,
+                     "intermediate_size": 32, "max_position_embeddings": 77,
+                     "eos_token_id": 2},
+        vision_config={"hidden_size": 24, "num_hidden_layers": 2,
+                       "num_attention_heads": 2, "intermediate_size": 48,
+                       "patch_size": 16, "image_size": 32},
+        projection_dim=20)
+    cfg._attn_implementation = "eager"
+    torch.manual_seed(0)
+    return CLIPModel(cfg)
+
+
+@pytest.mark.parametrize("use_existing_proj", [True, False])
+def test_trans_segmentor_parity(use_existing_proj):
+    if str(REFERENCE) not in sys.path:
+        sys.path.insert(0, str(REFERENCE))
+    import src.models.core_models.trans_segmentor.encoder as enc_mod
+    from src.models.components.pre_cross_attn_decoder import (
+        PreCrossAttentionTransformerDecoderLayer)
+    from src.models.core_models.trans_segmentor import TransformerSegmentor \
+        as RefSegmentor
+
+    clip = tiny_clip_model()
+    proj_dim = 20 if use_existing_proj else 24
+
+    orig = enc_mod.AutoModel.from_pretrained
+    enc_mod.AutoModel.from_pretrained = staticmethod(lambda *a, **k: clip)
+    try:
+        torch.manual_seed(1)
+        dec_layer = PreCrossAttentionTransformerDecoderLayer(
+            d_model=proj_dim, nhead=2, dim_feedforward=16, dropout=0.0,
+            activation=torch.nn.GELU(approximate="none"), batch_first=True,
+            norm_first=True)
+        ref = RefSegmentor(
+            pretrained_model_name_or_path="x",
+            use_existing_proj=use_existing_proj,
+            freeze_encoders=True, add_pos_enc=True,
+            transformer_decoder=torch.nn.TransformerDecoder(
+                dec_layer, num_layers=2,
+                norm=torch.nn.LayerNorm(proj_dim)),
+            num_upsampler_layers=2,
+            upsampler_act=torch.nn.ReLU(),
+            upsampler_norm="layer",
+            image_size=None, num_output_channels=1,
+            output_bias=-1.5).double().eval()
+    finally:
+        enc_mod.AutoModel.from_pretrained = orig
+
+    rng = np.random.default_rng(2)
+    pixel = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+    ids = rng.integers(3, 98, size=(2, 10)).astype(np.int64)
+    ids[:, 0] = 1
+    mask = np.ones((2, 10), np.int64)
+    mask[1, 7:] = 0
+    ids[1, 7:] = 0
+
+    prev = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        with torch.no_grad():
+            ref_out = ref({"input_ids": torch.tensor(ids),
+                           "attention_mask": torch.tensor(mask)},
+                          torch.tensor(pixel, dtype=torch.float64)).numpy()
+    finally:
+        torch.set_default_dtype(prev)
+
+    # decoder_activation="relu": torch's TransformerDecoder deepcopy resets
+    # module-type activations (the configured GELU) to F.relu — quirk mirrored
+    cfg = TransSegmentorConfig.tiny(
+        use_existing_proj=use_existing_proj, add_pos_enc=True,
+        decoder_num_layers=2, decoder_num_heads=2, decoder_dim_feedforward=16,
+        decoder_dropout=0.0, decoder_activation="relu",
+        num_upsampler_layers=2, output_bias=-1.5)
+    params = convert_trans_segmentor(
+        torch_state_dict_to_numpy(ref.state_dict()), cfg)
+    model = TransformerSegmentor(cfg)
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(ids),
+                                 jnp.asarray(pixel), jnp.asarray(mask)))
+    assert got.shape == ref_out.shape == (2, 1, 32, 32)
+    np.testing.assert_allclose(got, ref_out, atol=5e-4, rtol=1e-3)

@@ -98,6 +98,7 @@ class Conv2d(nn.Module):
     padding: Union[str, Size2] = 0
     pad_mode: str = "zeros"
     use_bias: bool = True
+    bias_init_value: Union[float, None] = None  # fixed-constant bias init
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -106,7 +107,11 @@ class Conv2d(nn.Module):
         fan_in = self.in_channels * kh * kw
         weight = self.param("weight", _torch_conv_init(fan_in),
                             (self.out_channels, self.in_channels, kh, kw))
-        bias = (self.param("bias", _torch_conv_init(fan_in), (self.out_channels,))
+        if self.bias_init_value is not None:
+            bias_initializer = nn.initializers.constant(self.bias_init_value)
+        else:
+            bias_initializer = _torch_conv_init(fan_in)
+        bias = (self.param("bias", bias_initializer, (self.out_channels,))
                 if self.use_bias else None)
         return conv2d(x.astype(self.dtype), weight, bias, self.stride,
                       self.padding, pad_mode=self.pad_mode)

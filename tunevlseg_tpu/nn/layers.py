@@ -32,9 +32,10 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
 
 ACT2FN: dict[str, Callable[[jnp.ndarray], jnp.ndarray]] = {
     "quick_gelu": quick_gelu,
-    "gelu": jax.nn.gelu,
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
     "relu": jax.nn.relu,
     "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
+    "gelu_pytorch_tanh": lambda x: jax.nn.gelu(x, approximate=True),
 }
 
 

@@ -11,6 +11,7 @@ reference src/train.py:56-137.
 """
 from __future__ import annotations
 
+import dataclasses
 import sys
 from pathlib import Path
 from typing import Any, Optional
@@ -91,19 +92,56 @@ def build_model_and_task(cfg: dict, tokenizer=None):
         common.pop("learner_overrides")
         model, spec = build_cris(config=config,
                                  learner_overrides=m.get("learner"), **common)
+    elif family == "trans_segmentor":
+        from tunevlseg_tpu.models.trans_segmentor.model import (
+            TransformerSegmentor, TransSegmentorConfig)
+        from tunevlseg_tpu.training.optim import FreezeSpec
+
+        tiny = bool(cfg.get("tiny_model"))
+        base = TransSegmentorConfig.tiny() if tiny else TransSegmentorConfig()
+        overrides = dict(
+            encoder_family=m.get("encoder_family", "clip"),
+            use_existing_proj=m.get("use_existing_proj", True),
+            add_pos_enc=m.get("add_pos_enc", False),
+            decoder_dropout=m.get("decoder_dropout", 0.1),
+            decoder_activation=m.get("decoder_activation", "relu"),
+            upsampler_act=m.get("upsampler_act", "relu"),
+            upsampler_norm=m.get("upsampler_norm", "layer"),
+            num_output_channels=m.get("num_output_channels", 1),
+            output_bias=m.get("output_bias"),
+            image_size=cfg.get("img_size"))
+        if not tiny:  # keep tiny's scaled-down decoder/upsampler dims
+            overrides.update(
+                decoder_num_layers=m.get("decoder_num_layers", 4),
+                decoder_num_heads=m.get("decoder_num_heads", 8),
+                decoder_dim_feedforward=m.get("decoder_dim_feedforward", 2048),
+                num_upsampler_layers=m.get("num_upsampler_layers", 5))
+        config = dataclasses.replace(base, **overrides)
+        model = TransformerSegmentor(config, dtype=dtype)
+        # freeze_encoders only gates the towers; decoder/upsampler train
+        always = (() if m.get("use_existing_proj", True)
+                  else ("text_projection",))
+        spec = FreezeSpec(freeze_all=False,
+                          freeze_encoder=m.get("freeze_encoders", False),
+                          family="trans_segmentor", always_trainable=always)
+        return model, _make_task(cfg, model, spec)
     else:
         raise NotImplementedError(f"model family {family}")
 
+    return model, _make_task(cfg, model, spec)
+
+
+def _make_task(cfg: dict, model, spec):
+    m = cfg["model"]
     loss_cfg = dict(m.get("loss_fn", {"name": "dice_ce"}))
     loss_fn = LOSS_REGISTRY[loss_cfg.pop("name")]
     opt = m.get("optimizer", {})
-    task = SegmentationTask(
+    return SegmentationTask(
         model, spec, loss_fn=loss_fn, loss_kwargs=loss_cfg,
         threshold=m.get("threshold", 0.5),
         learning_rate=opt.get("lr", 2e-4),
         weight_decay=m.get("weight_decay", 0.0),
         grad_clip_norm=cfg["trainer"].get("gradient_clip_val"))
-    return model, task
 
 
 def load_pretrained(cfg: dict):

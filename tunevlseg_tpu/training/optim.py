@@ -41,7 +41,8 @@ class FreezeSpec:
     no_freeze_last_layer: bool = False
     use_new_last_layer: bool = False
     complex_head: bool = False
-    family: str = "clipseg"  # "clipseg" | "cris"
+    family: str = "clipseg"  # "clipseg" | "cris" | "trans_segmentor"
+    always_trainable: tuple = ()  # top-level param keys trained regardless
 
     def _last_layer_paths(self) -> tuple[tuple[str, ...], ...]:
         if self.family == "cris":
@@ -52,7 +53,14 @@ class FreezeSpec:
 
     def path_trainable(self, path: tuple[str, ...]) -> bool:
         top = path[0]
-        if top == "learner":
+        if top == "learner" or top in self.always_trainable:
+            return True
+        if self.family == "trans_segmentor":
+            # encoders (+ pretrained projections) gate on freeze_encoder;
+            # decoder/upsampler always train (encoder.py:216-223)
+            if top in ("text_model", "vision_model", "text_projection",
+                       "visual_projection"):
+                return not self.freeze_encoder
             return True
         if top in ("additive_head", "additive_conv1", "additive_conv2",
                    "residual_ratio"):

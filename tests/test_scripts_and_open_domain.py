@@ -1,0 +1,132 @@
+"""Tests for the ops-tooling scripts and open-domain datasets."""
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import cv2
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+VOCAB = "/root/reference/src/models/components/denseclip/bpe_simple_vocab_16e6.txt.gz"
+
+
+def test_eval_metrics_cli(tmp_path):
+    gt_dir = tmp_path / "gt"
+    pred_dir = tmp_path / "pred"
+    gt_dir.mkdir()
+    pred_dir.mkdir()
+    gt = np.zeros((20, 20), np.uint8)
+    gt[5:15, 5:15] = 255
+    pred = np.zeros((20, 20), np.uint8)
+    pred[5:15, 5:10] = 255  # half overlap
+    cv2.imwrite(str(gt_dir / "a.png"), gt)
+    cv2.imwrite(str(pred_dir / "a.png"), pred)
+    # empty pair -> dice 100 (ignore_empty=False convention)
+    cv2.imwrite(str(gt_dir / "b.png"), np.zeros((8, 8), np.uint8))
+    cv2.imwrite(str(pred_dir / "b.png"), np.zeros((8, 8), np.uint8))
+
+    csv_path = tmp_path / "out.csv"
+    res = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "eval_metrics.py"),
+         "--seg-path", str(pred_dir), "--gt-path", str(gt_dir),
+         "--csv-path", str(csv_path), "--max-workers", "1"],
+        capture_output=True, text=True)
+    assert res.returncode == 0, res.stderr
+    rows = csv_path.read_text().strip().splitlines()
+    assert len(rows) == 3  # header + 2 images
+    by_name = {r.split(",")[0]: r.split(",") for r in rows[1:]}
+    # a: dice = 2*50/(50+100) = 66.67, iou = 50/100 = 50
+    assert abs(float(by_name["a.png"][1]) - 50.0) < 1e-6
+    assert abs(float(by_name["a.png"][2]) - 200 / 3) < 1e-4
+    assert float(by_name["b.png"][2]) == 100.0
+
+
+def test_binarize_cityscapes_roundtrip(tmp_path):
+    root = tmp_path / "cityscapes"
+    for split in ("train", "val"):
+        (root / "gtFine" / split / "cityA").mkdir(parents=True)
+        (root / "leftImg8bit" / split / "cityA").mkdir(parents=True)
+        mask = np.zeros((32, 32), np.uint8)
+        mask[:16] = 26   # car
+        mask[16:] = 23   # sky
+        cv2.imwrite(str(root / "gtFine" / split / "cityA" /
+                        "cityA_000_gtFine_labelIds.png"), mask)
+        cv2.imwrite(str(root / "leftImg8bit" / split / "cityA" /
+                        "cityA_000_leftImg8bit.png"),
+                    np.zeros((32, 32, 3), np.uint8))
+    dump = tmp_path / "dump"
+    res = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "binarize_cityscapes.py"),
+         str(root), str(dump), "--max-workers", "1"],
+        capture_output=True, text=True)
+    assert res.returncode == 0, res.stderr
+    car = cv2.imread(str(dump / "annotations" / "validation" / "car" /
+                         "cityA_000.png"), cv2.IMREAD_GRAYSCALE)
+    assert car is not None and car[:16].min() == 255 and car[16:].max() == 0
+    assert (dump / "annotations" / "validation" / "sky").is_dir()
+    assert not (dump / "annotations" / "validation" / "person").exists()
+
+
+@pytest.mark.skipif(not Path(VOCAB).exists(), reason="vocab unavailable")
+def test_phrasecut_dataset(tmp_path):
+    from tunevlseg_tpu.data.open_domain import PhraseCutDataset
+    from tunevlseg_tpu.data.tokenizer import CLIPTokenizer
+    from tunevlseg_tpu.data.transforms import eval_transforms
+
+    (tmp_path / "images").mkdir()
+    (tmp_path / "masks").mkdir()
+    tasks = []
+    for img_id, phrase in ((10, "red car"), (11, "blue/green tree"),
+                           (498246, "excluded")):
+        cv2.imwrite(str(tmp_path / "images" / f"{img_id}.jpg"),
+                    np.zeros((24, 24, 3), np.uint8))
+        tid = f"{img_id}__0"
+        safe = phrase.replace("/", "\\")
+        cv2.imwrite(str(tmp_path / "masks" / f"{tid}-{safe}.png"),
+                    np.full((24, 24), 255, np.uint8))
+        tasks.append({"task_id": tid, "phrase": phrase})
+    (tmp_path / "tasks.json").write_text(json.dumps(tasks))
+
+    ds = PhraseCutDataset(
+        image_dir=tmp_path / "images", mask_dir=tmp_path / "masks",
+        task_path=tmp_path / "tasks.json", prompt_method="shuffle",
+        tokenizer=CLIPTokenizer(VOCAB), transforms=eval_transforms(16))
+    assert len(ds) == 2  # invalid COCO id excluded
+    item = ds[0]
+    assert "red car" in item["prompt"]
+    assert item["mask"].max() == 1.0
+
+    # negatives: neg_prob=1 always swaps phrase and zeroes the mask
+    ds_neg = PhraseCutDataset(
+        image_dir=tmp_path / "images", mask_dir=tmp_path / "masks",
+        task_path=tmp_path / "tasks.json", prompt_method="fixed", neg_prob=1.0,
+        tokenizer=CLIPTokenizer(VOCAB), transforms=eval_transforms(16))
+    item = ds_neg[0]
+    assert "red car" not in item["prompt"]
+    assert item["mask"].max() == 0.0
+
+
+@pytest.mark.skipif(not Path(VOCAB).exists(), reason="vocab unavailable")
+def test_refcoco_dataset(tmp_path):
+    from tunevlseg_tpu.data.open_domain import RefCOCODataset
+    from tunevlseg_tpu.data.tokenizer import CLIPTokenizer
+    from tunevlseg_tpu.data.transforms import eval_transforms
+
+    (tmp_path / "images").mkdir()
+    (tmp_path / "masks").mkdir()
+    cv2.imwrite(str(tmp_path / "images" / "img1.jpg"),
+                np.zeros((20, 20, 3), np.uint8))
+    cv2.imwrite(str(tmp_path / "masks" / "1-2-3.png"),
+                np.full((20, 20), 255, np.uint8))
+    tasks = [{"image_id": 1, "image_name": "img1.jpg", "ann_id": 2,
+              "sent_id": 3, "phrase": "the left dog"}]
+    (tmp_path / "tasks.json").write_text(json.dumps(tasks))
+    ds = RefCOCODataset(
+        image_dir=tmp_path / "images", mask_dir=tmp_path / "masks",
+        task_path=tmp_path / "tasks.json",
+        tokenizer=CLIPTokenizer(VOCAB), transforms=eval_transforms(16))
+    item = ds[0]
+    assert item["mask_name"] == "1-2-3.png"
+    assert item["prompt"] == "a photo of the left dog."

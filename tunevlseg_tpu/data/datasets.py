@@ -127,6 +127,27 @@ class ImageTextMaskDataset(BaseImageTextMaskDataset):
         }
 
 
+class ZeroShotDataset(ImageTextMaskDataset):
+    """Wraps ImageTextMaskDataset for ZeroShotRIS: tokenizes the
+    [prompt, object_class] PAIR (phrase + classname text ensemble) and
+    attaches a cache_name for the npz feature cache
+    (reference src/data/core_datasets/zeroshot_dataset.py:6-23).
+
+    Tasks must carry an `object_class` field; batch size must be 1."""
+
+    def __getitem__(self, index: int):
+        item = super().__getitem__(index)
+        task = self.tasks[index]
+        object_class = str(task.get("object_class", item["prompt"]))
+        pair = self.tokenizer([item["prompt"], object_class],
+                              max_length=self.max_length,
+                              style=self.tokenizer_style)
+        item["input_ids"] = pair["input_ids"]
+        item["attention_mask"] = pair["attention_mask"]
+        item["cache_name"] = str(Path(str(task["mask_name"])).stem)
+        return item
+
+
 class ImageDirTextMaskDataset(BaseImageTextMaskDataset):
     """Masks organized as `mask_dir/<class_name>/<image>.suffix`; the class
     (directory) name is the prompt."""

@@ -1,0 +1,388 @@
+"""DenseCLIP (Flax) — language-guided semantic segmentation.
+
+Re-implements the reference's vendored DenseCLIP "side universe"
+(src/models/components/denseclip/, driven by denseclip_configs/*.py through
+mmseg rather than src/train.py — SURVEY §2.7):
+
+  * `CLIPResNetWithAttention` backbone: CLIP ModifiedResNet returning the
+    4-stage pyramid + the attention-pooled (global, spatial) pair
+    (models.py:234-360, standard OpenAI AttentionPool2d with mean-prepended
+    CLS and bilinear pos-emb resize);
+  * `CLIPTextContextEncoder`: causal CLIP text transformer over
+    [BOS, learned_context, class_tokens] with EOS pooling shifted by the
+    context length and a truncated positional embedding (models.py:805-905);
+  * `ContextDecoder`: text queries cross-attending the visual context
+    (global + spatial tokens), custom pre-norm decoder layers with
+    bias-free q/k/v (models.py:456-529, 907-961);
+  * the DenseCLIP glue (denseclip.py:140-190): per-class score map
+    `einsum(normalized visual, normalized text)` concatenated onto the
+    score_concat_index pyramid level, `text = text + gamma * text_diff`
+    residual with gamma init 1e-4;
+  * mmseg-style FPN neck + FPNHead decode head (the reference defers these
+    to mmseg; re-implemented here so the model runs without it).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from tunevlseg_tpu.models.cris.resnet import BatchNorm2d, Bottleneck, avg_pool_nchw
+from tunevlseg_tpu.nn.attention import causal_bias, xla_attention
+from tunevlseg_tpu.nn.conv import Conv2d
+from tunevlseg_tpu.nn.layers import PreNormEncoderLayer
+from tunevlseg_tpu.ops.image import resize_2d
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseCLIPConfig:
+    # backbone (RN50)
+    vision_layers: Sequence[int] = (3, 4, 6, 3)
+    vision_width: int = 64
+    input_resolution: int = 512
+    embed_dim: int = 1024              # text/visual joint dim
+    # text encoder
+    vocab_size: int = 49408
+    text_context_length: int = 13      # class-token budget
+    context_length: int = 8            # learned context tokens
+    transformer_width: int = 512
+    transformer_heads: int = 8
+    transformer_layers: int = 12
+    # context decoder
+    decoder_width: int = 256
+    decoder_heads: int = 4
+    decoder_layers: int = 6
+    decoder_dropout: float = 0.1
+    # segmentation glue
+    num_classes: int = 150
+    score_concat_index: int = 3
+    fpn_out_channels: int = 256
+    head_channels: int = 128
+
+    @property
+    def total_context(self) -> int:
+        return self.text_context_length + self.context_length
+
+    @staticmethod
+    def tiny(**kw) -> "DenseCLIPConfig":
+        base = dict(vision_layers=(1, 1, 1, 1), vision_width=16,
+                    input_resolution=64, embed_dim=32, vocab_size=99,
+                    text_context_length=5, context_length=3,
+                    transformer_width=16, transformer_heads=2,
+                    transformer_layers=2, decoder_width=16, decoder_heads=2,
+                    decoder_layers=2, decoder_dropout=0.0, num_classes=4,
+                    fpn_out_channels=16, head_channels=16)
+        base.update(kw)
+        return DenseCLIPConfig(**base)
+
+
+class DenseCLIPAttentionPool(nn.Module):
+    """OpenAI AttentionPool2d returning (global, spatial) — mean-prepended
+    CLS query, bilinear pos-emb resize (models.py:69-137)."""
+
+    spacial_dim: int
+    embed_dim: int
+    num_heads: int
+    output_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        b, c, h, w = x.shape
+        seq = x.reshape(b, c, h * w).transpose(0, 2, 1)      # (B, HW, C)
+        seq = jnp.concatenate([seq.mean(axis=1, keepdims=True), seq], axis=1)
+
+        pos = self.param("positional_embedding",
+                         nn.initializers.normal(self.embed_dim ** -0.5),
+                         (self.spacial_dim ** 2 + 1, self.embed_dim))
+        cls_pos = jnp.asarray(pos[:1], jnp.float32)
+        grid = jnp.asarray(pos[1:], jnp.float32).reshape(
+            self.spacial_dim, self.spacial_dim, self.embed_dim
+        ).transpose(2, 0, 1)
+        grid = resize_2d(grid, (h, w), "bilinear")
+        spatial_pos = grid.reshape(self.embed_dim, h * w).T
+        seq = seq + jnp.concatenate([cls_pos, spatial_pos]
+                                    )[None].astype(seq.dtype)
+
+        dense = lambda f, name: nn.Dense(f, dtype=self.dtype, name=name)
+        q = dense(self.embed_dim, "q_proj")(seq)
+        k = dense(self.embed_dim, "k_proj")(seq)
+        v = dense(self.embed_dim, "v_proj")(seq)
+        hd = self.embed_dim // self.num_heads
+        split = lambda t: t.reshape(b, -1, self.num_heads, hd)
+        out = xla_attention(split(q), split(k), split(v))
+        out = dense(self.output_dim, "c_proj")(
+            out.reshape(b, -1, self.embed_dim))
+        global_feat = out[:, 0]
+        feature_map = out[:, 1:].transpose(0, 2, 1).reshape(
+            b, self.output_dim, h, w)
+        return global_feat, feature_map
+
+
+class CLIPResNetWithAttention(nn.Module):
+    config: DenseCLIPConfig
+    use_running_average: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        c = self.config
+        w = c.vision_width
+        ura = self.use_running_average
+        for i, (cin, cout) in enumerate(((3, w // 2), (w // 2, w // 2),
+                                         (w // 2, w))):
+            x = Conv2d(cin, cout, 3, stride=2 if i == 0 else 1, padding=1,
+                       use_bias=False, dtype=self.dtype, name=f"conv{i+1}")(x)
+            x = nn.relu(BatchNorm2d(cout, ura, name=f"bn{i+1}")(x))
+        x = avg_pool_nchw(x, 2)
+
+        outs = []
+        inplanes = w
+        for stage, (planes, blocks) in enumerate(
+                zip((w, w * 2, w * 4, w * 8), c.vision_layers), start=1):
+            stride = 1 if stage == 1 else 2
+            for b in range(blocks):
+                x = Bottleneck(inplanes, planes, stride if b == 0 else 1,
+                               ura, dtype=self.dtype,
+                               name=f"layer{stage}_{b}")(x)
+                inplanes = planes * Bottleneck.EXPANSION
+            outs.append(x)
+
+        pooled = DenseCLIPAttentionPool(
+            c.input_resolution // 32, w * 32, w * 32 // 64, c.embed_dim,
+            dtype=self.dtype, name="attnpool")(outs[-1])
+        return (*outs, pooled)
+
+
+class CLIPTextContextEncoder(nn.Module):
+    """[BOS, context, class tokens] causal encoder (models.py:805-905)."""
+
+    config: DenseCLIPConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, text: jnp.ndarray, context: jnp.ndarray):
+        """text (K, N1) int token ids; context (B, N2, width).
+        Returns (B, K, embed_dim)."""
+        c = self.config
+        emb = nn.Embed(c.vocab_size, c.transformer_width, dtype=self.dtype,
+                       name="token_embedding")(text)          # (K, N1, C)
+        k_cls, n1, width = emb.shape
+        b, n2, _ = context.shape
+
+        eos_idx = jnp.argmax(text.astype(jnp.int32), axis=-1) + n2  # (K,)
+        eos_idx = jnp.broadcast_to(eos_idx[None], (b, k_cls)).reshape(-1)
+
+        emb_b = jnp.broadcast_to(emb[None], (b, k_cls, n1, width))
+        ctx_b = jnp.broadcast_to(context[:, None].astype(self.dtype),
+                                 (b, k_cls, n2, width))
+        x = jnp.concatenate([emb_b[:, :, :1], ctx_b, emb_b[:, :, 1:]],
+                            axis=2).reshape(b * k_cls, n1 + n2, width)
+
+        pos = self.param("positional_embedding",
+                         nn.initializers.normal(0.01),
+                         (c.total_context, c.transformer_width))
+        x = x + jnp.asarray(pos[:x.shape[1]], x.dtype)
+
+        bias = causal_bias(x.shape[1], jnp.float32)
+        for i in range(c.transformer_layers):
+            x = PreNormEncoderLayer(
+                c.transformer_heads, c.transformer_width * 4, "quick_gelu",
+                1e-5, dtype=self.dtype, name=f"resblocks_{i}")(x, bias)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_final")(x)
+
+        proj = self.param("text_projection",
+                          nn.initializers.normal(c.transformer_width ** -0.5),
+                          (c.transformer_width, c.embed_dim))
+        pooled = jnp.take_along_axis(x, eos_idx[:, None, None], axis=1)[:, 0]
+        out = pooled @ jnp.asarray(proj, pooled.dtype)
+        return out.reshape(b, k_cls, c.embed_dim)
+
+
+class BiasFreeMHA(nn.Module):
+    """models.py Attention: bias-free q/k/v, biased output proj."""
+
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v):
+        d = q.shape[-1]
+        hd = d // self.num_heads
+        dense_nb = lambda name: nn.Dense(d, use_bias=False, dtype=self.dtype,
+                                         name=name)
+        qh = dense_nb("q_proj")(q)
+        kh = dense_nb("k_proj")(k)
+        vh = dense_nb("v_proj")(v)
+        split = lambda t: t.reshape(*t.shape[:-1], self.num_heads, hd)
+        out = xla_attention(split(qh), split(kh), split(vh))
+        out = out.reshape(*q.shape[:-1], d)
+        return nn.Dense(d, dtype=self.dtype, name="proj")(out)
+
+
+class ContextDecoderLayer(nn.Module):
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mem, deterministic=True):
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                       name=name)
+        h = ln("norm1")(x)
+        x = x + BiasFreeMHA(self.num_heads, self.dtype, name="self_attn")(
+            h, h, h)
+        q = ln("norm2")(x)
+        x = x + BiasFreeMHA(self.num_heads, self.dtype, name="cross_attn")(
+            q, mem, mem)
+        h = ln("norm3")(x)
+        d = x.shape[-1]
+        h = nn.Dense(d * 4, dtype=self.dtype, name="mlp_0")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(d, dtype=self.dtype, name="mlp_3")(h)
+        return x + h
+
+
+class ContextDecoder(nn.Module):
+    config: DenseCLIPConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, text, visual, deterministic=True):
+        c = self.config
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                       name=name)
+        mem = ln("memory_proj_0")(visual)
+        mem = nn.Dense(c.decoder_width, dtype=self.dtype,
+                       name="memory_proj_1")(mem)
+        mem = ln("memory_proj_2")(mem)
+        x = ln("text_proj_0")(text)
+        x = nn.Dense(c.decoder_width, dtype=self.dtype, name="text_proj_1")(x)
+        for i in range(c.decoder_layers):
+            x = ContextDecoderLayer(c.decoder_heads, self.dtype,
+                                    name=f"decoder_{i}")(x, mem,
+                                                         deterministic)
+        x = ln("out_proj_0")(x)
+        return nn.Dense(c.embed_dim, dtype=self.dtype, name="out_proj_1")(x)
+
+
+class FPNNeck(nn.Module):
+    """mmseg-style FPN neck: 1x1 laterals + 3x3 outputs, nearest top-down."""
+
+    in_channels: Sequence[int]
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]):
+        laterals = [
+            Conv2d(cin, self.out_channels, 1, dtype=self.dtype,
+                   name=f"lateral_{i}")(f)
+            for i, (f, cin) in enumerate(zip(feats, self.in_channels))
+        ]
+        for i in range(len(laterals) - 1, 0, -1):
+            up = jnp.repeat(jnp.repeat(laterals[i], 2, axis=2), 2, axis=3)
+            up = up[:, :, :laterals[i - 1].shape[2], :laterals[i - 1].shape[3]]
+            laterals[i - 1] = laterals[i - 1] + up
+        return [
+            Conv2d(self.out_channels, self.out_channels, 3, padding=1,
+                   dtype=self.dtype, name=f"output_{i}")(lat)
+            for i, lat in enumerate(laterals)
+        ]
+
+
+class FPNHead(nn.Module):
+    """mmseg FPNHead: per-level conv(+GN+relu) scale heads upsampled to the
+    finest stride, summed, 1x1 classifier."""
+
+    num_classes: int
+    in_channels: int
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]):
+        target_hw = feats[0].shape[2:]
+        total = None
+        for i, f in enumerate(feats):
+            h = Conv2d(self.in_channels, self.channels, 3, padding=1,
+                       use_bias=False, dtype=self.dtype,
+                       name=f"scale_head_{i}")(f)
+            h = nn.GroupNorm(num_groups=min(32, self.channels), epsilon=1e-5,
+                             dtype=self.dtype, name=f"scale_gn_{i}")(
+                                 h.transpose(0, 2, 3, 1)).transpose(0, 3, 1, 2)
+            h = nn.relu(h)
+            if h.shape[2:] != target_hw:
+                h = resize_2d(h, target_hw, "bilinear")
+            total = h if total is None else total + h
+        return Conv2d(self.channels, self.num_classes, 1, dtype=self.dtype,
+                      name="cls_seg")(total)
+
+
+class DenseCLIP(nn.Module):
+    """Full segmentor: backbone -> text/context fusion -> score-map concat ->
+    FPN neck -> FPN head -> full-resolution class logits."""
+
+    config: DenseCLIPConfig
+    class_token_ids: Any = None   # (K, text_context_length) np array
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        c = self.config
+        self.backbone = CLIPResNetWithAttention(c, dtype=self.dtype,
+                                                name="backbone")
+        self.text_encoder = CLIPTextContextEncoder(c, dtype=self.dtype,
+                                                   name="text_encoder")
+        self.context_decoder = ContextDecoder(c, dtype=self.dtype,
+                                              name="context_decoder")
+        self.contexts = self.param(
+            "contexts", nn.initializers.truncated_normal(1.0),
+            (1, c.context_length, c.transformer_width))
+        self.gamma = self.param(
+            "gamma", lambda key: jnp.full((c.embed_dim,), 1e-4, jnp.float32))
+        w = c.vision_width
+        stage_channels = [w * 4, w * 8, w * 16, w * 32]
+        stage_channels[c.score_concat_index] += c.num_classes
+        self.neck = FPNNeck(stage_channels, c.fpn_out_channels,
+                            dtype=self.dtype, name="neck")
+        self.decode_head = FPNHead(c.num_classes, c.fpn_out_channels,
+                                   c.head_channels, dtype=self.dtype,
+                                   name="decode_head")
+
+    def __call__(self, images: jnp.ndarray,
+                 class_token_ids: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        c = self.config
+        token_ids = (class_token_ids if class_token_ids is not None
+                     else jnp.asarray(self.class_token_ids))
+        feats = self.backbone(images)
+        x_orig = list(feats[:4])
+        global_feat, visual_embeddings = feats[4]
+
+        b, ch, h, w = visual_embeddings.shape
+        visual_context = jnp.concatenate(
+            [global_feat[:, :, None],
+             visual_embeddings.reshape(b, ch, h * w)], axis=2
+        ).transpose(0, 2, 1)                                   # (B, 1+HW, C)
+
+        text = self.text_encoder(token_ids, self.contexts.astype(self.dtype))
+        text = jnp.broadcast_to(text, (b, *text.shape[1:]))
+        text_diff = self.context_decoder(text, visual_context,
+                                         deterministic)
+        text = text + jnp.asarray(self.gamma, text.dtype) * text_diff
+
+        v_norm = visual_embeddings / jnp.linalg.norm(
+            visual_embeddings, axis=1, keepdims=True)
+        t_norm = text / jnp.linalg.norm(text, axis=2, keepdims=True)
+        score_map = jnp.einsum("bchw,bkc->bkhw", v_norm, t_norm)
+        idx = c.score_concat_index
+        x_orig[idx] = jnp.concatenate([x_orig[idx], score_map], axis=1)
+
+        neck_out = self.neck(x_orig)
+        logits = self.decode_head(neck_out)
+        return resize_2d(logits, images.shape[2:], "bilinear")

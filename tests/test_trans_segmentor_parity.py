@@ -102,3 +102,25 @@ def test_trans_segmentor_parity(use_existing_proj):
                                  jnp.asarray(pixel), jnp.asarray(mask)))
     assert got.shape == ref_out.shape == (2, 1, 32, 32)
     np.testing.assert_allclose(got, ref_out, atol=5e-4, rtol=1e-3)
+
+
+def test_siglip_encoder_family_forward():
+    """SigLIP towers drive the segmentor end-to-end (no oracle: HF SigLIP
+    parity is covered indirectly by structure; this guards shapes/finiteness
+    and the no-CLS square-sequence path)."""
+    import jax
+
+    cfg = TransSegmentorConfig.tiny(encoder_family="siglip",
+                                    use_existing_proj=False,
+                                    decoder_activation="relu")
+    model = TransformerSegmentor(cfg)
+    rng = np.random.default_rng(0)
+    pixel = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+    ids = rng.integers(3, 98, (2, 10)).astype(np.int32)
+    mask = np.ones((2, 10), np.int32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                           jnp.asarray(pixel), jnp.asarray(mask))
+    out = model.apply(variables, jnp.asarray(ids), jnp.asarray(pixel),
+                      jnp.asarray(mask))
+    assert out.shape == (2, 1, 32, 32)
+    assert bool(jnp.isfinite(out).all())

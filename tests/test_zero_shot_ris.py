@@ -296,3 +296,42 @@ def test_zero_shot_ris_end_to_end(tmp_path):
                              read_cache=True, write_cache=False)
     out2 = ris_cached(image, ids, mask, cache_name="sample0.png")
     np.testing.assert_array_equal(out1, out2)
+
+
+def test_eval_zeroshot_cli(tmp_path):
+    """The zero-shot eval driver end-to-end on synthetic data (tiny models,
+    random weights)."""
+    import cv2
+    import json as json_mod
+    from tunevlseg_tpu import eval_zeroshot
+
+    root = tmp_path / "data" / "zsds"
+    (root / "images").mkdir(parents=True)
+    (root / "masks").mkdir()
+    (root / "anns").mkdir()
+    rng = np.random.default_rng(0)
+    tasks = []
+    for i in range(2):
+        cv2.imwrite(str(root / "images" / f"{i}.png"),
+                    rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+        cv2.imwrite(str(root / "masks" / f"{i}.png"),
+                    np.full((64, 64), 255, np.uint8))
+        tasks.append({"img_name": f"{i}.png", "mask_name": f"{i}.png",
+                      "prompts": {"p0": "a thing"},
+                      "object_class": "thing"})
+    (root / "anns" / "test.json").write_text(json_mod.dumps(tasks))
+
+    vocab = "/root/reference/src/models/components/denseclip/bpe_simple_vocab_16e6.txt.gz"
+    result = eval_zeroshot.main([
+        "ds_name=zsds",
+        f"paths.data_root={tmp_path / 'data'}",
+        f"paths.log_dir={tmp_path / 'logs'}",
+        f"vocab_path={vocab}",
+        "+tiny_model=true",
+        "img_size=64",
+        f"+model.cache_dir={tmp_path / 'cache'}",
+        "model.write_cache=true",
+    ])
+    assert "test_dice" in result
+    # the cache was written for both freesolo + features
+    assert len(list((tmp_path / "cache").glob("*.npz"))) >= 2

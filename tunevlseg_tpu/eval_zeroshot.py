@@ -1,0 +1,147 @@
+"""Zero-shot referring-segmentation evaluation driver.
+
+The reference runs ZeroShotRIS through src/eval.py with model=zsseg and
+batch_size=1 (configs/data/zsseg.yaml; sweep drivers schedule_zss.sh and
+zeroshot_get_hparams.sh). This driver mirrors that workflow:
+
+    python -m tunevlseg_tpu.eval_zeroshot model=zsseg ds_name=refcoco \
+        paths.data_root=/data vocab_path=... \
+        model.clip_checkpoint=/path/clip.bin \
+        model.solo_checkpoint=/path/FreeSOLO_R101_30k.pt \
+        +model.cache_dir=cache/ +model.write_cache=true
+
+With the npz cache written once, alpha/beta grid search re-runs with
+`+model.read_cache=true model.alpha=... model.beta=...` and never touches
+the models (the reference's `force_no_load_models` sweep)."""
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from tunevlseg_tpu.config.composer import compose
+from tunevlseg_tpu.data.datasets import ZeroShotDataset
+from tunevlseg_tpu.data.tokenizer import load_default_tokenizer
+from tunevlseg_tpu.models.clip.config import CLIPSegConfig
+from tunevlseg_tpu.models.solov2.model import SOLOv2Config
+from tunevlseg_tpu.models.zero_shot_ris.model import ZeroShotRIS
+from tunevlseg_tpu.ops.metrics import SegMetricState, compute, update_state
+from tunevlseg_tpu.train import CONFIG_DIR
+from tunevlseg_tpu.utils.logging import MetricLogger, get_logger
+
+log = get_logger(__name__)
+
+
+def build_ris(cfg: dict) -> ZeroShotRIS:
+    import jax
+
+    m = cfg["model"]
+    clip_cfg = CLIPSegConfig()  # ViT-B/16 CLIP (masked-feature path)
+    solo_cfg = SOLOv2Config()
+
+    if cfg.get("tiny_model"):
+        from tunevlseg_tpu.models.clip.config import (CLIPTextConfig,
+                                                      CLIPVisionConfig)
+        clip_cfg = CLIPSegConfig(
+            text=CLIPTextConfig(vocab_size=49408, hidden_size=16,
+                                num_layers=2, num_heads=2,
+                                intermediate_size=32),
+            vision=CLIPVisionConfig(hidden_size=24, num_layers=2, num_heads=2,
+                                    intermediate_size=48, patch_size=8,
+                                    image_size=32),
+            projection_dim=20)
+        solo_cfg = SOLOv2Config.tiny(fpn_channels=32, num_kernels=32,
+                                     num_masks=32, instance_channels=32,
+                                     mask_channels=32)
+
+    from tunevlseg_tpu.models.zero_shot_ris.model import MaskedCLIP
+    from tunevlseg_tpu.models.solov2.model import SOLOv2
+
+    clip_model = MaskedCLIP(clip_cfg)
+    solo_model = SOLOv2(solo_cfg)
+    size = m.get("clip_image_size",
+                 32 if cfg.get("tiny_model") else 224)
+
+    if m.get("clip_checkpoint"):
+        from tunevlseg_tpu.convert.clipseg import load_checkpoint_params
+        # CLIPModel-format checkpoints share the tower layout
+        clip_params = load_checkpoint_params(m["clip_checkpoint"], clip_cfg)
+    else:
+        import jax.numpy as jnp
+        rng = jax.random.PRNGKey(cfg.get("seed", 0))
+        clip_params = clip_model.init(
+            rng, jnp.ones((1, 3, size, size)),
+            method=clip_model.get_image_features)["params"]
+        text_params = clip_model.init(
+            rng, jnp.ones((2, 8), jnp.int32), jnp.ones((2, 8), jnp.int32),
+            method=clip_model.get_text_features)["params"]
+        from tunevlseg_tpu.config.composer import deep_merge
+        clip_params = deep_merge(dict(text_params), clip_params)
+        log.warning("no clip_checkpoint given: using RANDOM clip weights")
+
+    if m.get("solo_checkpoint"):
+        from tunevlseg_tpu.convert.solov2 import load_freesolo_checkpoint
+        solo_params = load_freesolo_checkpoint(m["solo_checkpoint"], solo_cfg)
+    else:
+        import jax.numpy as jnp
+        solo_params = solo_model.init(
+            jax.random.PRNGKey(1), jnp.ones((1, 3, 64, 64)))["params"]
+        log.warning("no solo_checkpoint given: using RANDOM FreeSOLO weights")
+
+    return ZeroShotRIS(
+        clip_cfg, solo_cfg, clip_params, solo_params,
+        masking_block_idx=m.get("masking_block_idx", -3),
+        alpha=m.get("alpha", 0.95), beta=m.get("beta", 0.5),
+        num_masks=m.get("num_masks", 1), clip_image_size=size,
+        cache_dir=m.get("cache_dir"),
+        read_cache=m.get("read_cache", False),
+        write_cache=m.get("write_cache", False))
+
+
+def main(argv: Optional[list[str]] = None) -> dict:
+    overrides = argv if argv is not None else sys.argv[1:]
+    cfg = compose(CONFIG_DIR, "eval_zeroshot", overrides)
+
+    tokenizer = load_default_tokenizer(cfg.get("vocab_path"))
+    d = cfg["data"]
+    # the reference's zsseg pipeline CLIP-normalizes the single image tensor
+    # that feeds BOTH FreeSOLO and CLIP (experiment/zsseg_clip.yaml:65-80 —
+    # note FreeSOLO therefore never sees detectron2 pixel stats; quirk kept)
+    from tunevlseg_tpu.data.transforms import eval_transforms
+    transforms = eval_transforms(cfg.get("img_size", 1024),
+                                 cfg.get("img_mean"), cfg.get("img_std"))
+    dataset = ZeroShotDataset(
+        image_dir=d["image_dir"], mask_dir=d["mask_dir"],
+        task_path=d["test_task_path"], prompt_index=cfg["prompt_index"],
+        insert_stop_at_last=cfg.get("insert_stop_at_last", True),
+        tokenizer=tokenizer, max_length=cfg.get("max_length", 77),
+        transforms=transforms, seed=cfg.get("seed", 0))
+    ris = build_ris(cfg)
+
+    metric_logger = MetricLogger(cfg["paths"]["output_dir"])
+    state = SegMetricState.zeros()
+    threshold = cfg["model"].get("threshold", 0.5)
+    limit = cfg["trainer"].get("limit_batches")
+    import jax.numpy as jnp
+
+    for i in range(len(dataset)):
+        if limit is not None and i >= limit:
+            break
+        item = dataset[i]
+        pred = ris(item["image"], item["input_ids"],
+                   item["attention_mask"], cache_name=item["cache_name"])
+        state = update_state(state, jnp.asarray(pred[:1]),
+                             jnp.asarray(item["mask"][None]), threshold)
+        if (i + 1) % 25 == 0:
+            metric_logger.log(compute(state), i + 1, prefix="running_")
+
+    result = {f"test_{k}": float(v) for k, v in compute(state).items()}
+    metric_logger.log(result, len(dataset))
+    log.info(f"done: {result}")
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -166,3 +166,67 @@ def test_trans_segmentor_train_cycle(synth_root, tmp_path):
         "exp_name=ts_smoke",
     ])
     assert "test_dice" in result and 0 <= result["test_dice"] <= 1
+
+
+def test_pretrained_checkpoint_and_initializer(synth_root, tmp_path):
+    """pretrained_checkpoint loads converted torch weights into the frozen
+    tree, and context_initializer embeds through them (token count defines
+    num_context)."""
+    import torch
+
+    from tests.test_clipseg_parity import tiny_hf_config
+    from transformers import CLIPSegForImageSegmentation
+    from tunevlseg_tpu import train as train_mod
+    from tunevlseg_tpu.config.composer import compose
+    from tunevlseg_tpu.data.tokenizer import CLIPTokenizer
+
+    torch.manual_seed(0)
+    tm = CLIPSegForImageSegmentation(tiny_hf_config())
+    ckpt = tmp_path / "clipseg_tiny.pt"
+    torch.save(tm.state_dict(), ckpt)
+
+    cfg = compose(CONFIG_DIR, "train", [
+        "ds_name=kvasir_polyp", f"paths.data_root={synth_root}",
+        f"paths.log_dir={tmp_path / 'logs'}", f"vocab_path={VOCAB}",
+        "+tiny_model=true", "img_size=32", "trainer=debug",
+        f"pretrained_checkpoint={ckpt}",
+        'model.context_initializer="a photo of a"',
+    ])
+    tokenizer = CLIPTokenizer(VOCAB)
+    loaded = train_mod.load_pretrained(cfg)
+    assert "params" in loaded
+    # tiny vocab is 99 — tokens of "a photo of a" under the real vocab exceed
+    # it, so embed through a matching fake table instead for the num_context
+    # check
+    model, task = train_mod.build_model_and_task(cfg, None, pretrained=loaded)
+    # learner still built (initializer skipped without tokenizer):
+    assert model.learner is not None
+    # converted weights land in the frozen tree
+    from tunevlseg_tpu.data.pipeline import device_batch
+    import jax
+    batch = {
+        "image": np.zeros((2, 3, 32, 32), np.float32),
+        "mask": np.zeros((2, 1, 32, 32), np.float32),
+        "input_ids": np.ones((2, 8), np.int32),
+        "attention_mask": np.ones((2, 8), np.int32),
+        "valid": np.ones((2,), np.float32),
+    }
+    state, frozen = task.init(jax.random.PRNGKey(0), batch,
+                              params=loaded["params"])
+    got = np.asarray(
+        frozen["params"]["text_model"]["token_embedding"]["embedding"])
+    want = tm.state_dict()["clip.text_model.embeddings.token_embedding.weight"].numpy()
+    np.testing.assert_array_equal(got, want)
+
+
+def test_initializer_embeddings_num_context():
+    from tunevlseg_tpu.data.tokenizer import CLIPTokenizer
+    from tunevlseg_tpu.models.prompt.init_text import (
+        compute_initializer_embeddings)
+
+    tok = CLIPTokenizer(VOCAB)
+    table = np.random.default_rng(0).normal(size=(49408, 16)).astype(np.float32)
+    emb = compute_initializer_embeddings(table, tok, "a photo of a")
+    assert emb.shape == (1, 4, 16)  # 4 tokens -> num_context 4
+    ids = tok.encode("a photo of a", add_special_tokens=False)
+    np.testing.assert_array_equal(emb[0], table[np.asarray(ids)])

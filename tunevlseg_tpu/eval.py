@@ -40,9 +40,12 @@ def main(argv: Optional[list[str]] = None) -> dict:
                              num_workers=d.get("num_workers", 8))
 
     sample = next(iter(test_loader))
-    params = load_pretrained(cfg)
+    loaded = load_pretrained(cfg)
+    params = loaded["params"] if loaded else None
+    variables = ({k: v for k, v in loaded.items() if k != "params"}
+                 if loaded else None)
     state, frozen = task.init(jax.random.PRNGKey(seed), device_batch(sample),
-                              params=params)
+                              params=params, variables=variables)
 
     ckpt_path = cfg.get("ckpt_path")
     if not cfg.get("disable_ckpt") and ckpt_path:

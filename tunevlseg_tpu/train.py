@@ -61,21 +61,46 @@ def build_datasets(cfg: dict, tokenizer) -> dict[str, Any]:
     }
 
 
-def build_model_and_task(cfg: dict, tokenizer=None):
+def _initializer_embeddings(cfg: dict, tokenizer, params):
+    """Embed the text context initializer ("a photo of a") through the
+    converted frozen token embedding (coop_context_learner.py:16-80). The
+    token count overrides num_context. Returns (embeddings, num_context)."""
+    m = cfg["model"]
+    init_text = m.get("context_initializer")
+    if not init_text or tokenizer is None or params is None:
+        return None, m.get("num_context", 4)
+    family = m.get("family", "clipseg")
+    try:
+        if family == "cris":
+            table = params["params"]["text"]["token_embedding"]["embedding"]
+        else:
+            table = params["params"]["text_model"]["token_embedding"][
+                "embedding"]
+    except (KeyError, TypeError):
+        return None, m.get("num_context", 4)
+    from tunevlseg_tpu.models.prompt.init_text import (
+        compute_initializer_embeddings)
+    emb = compute_initializer_embeddings(table, tokenizer, init_text)
+    return emb, emb.shape[1]
+
+
+def build_model_and_task(cfg: dict, tokenizer=None, pretrained=None):
     m = cfg["model"]
     family = m.get("family", "clipseg")
     dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}[
         cfg["trainer"].get("precision", "f32")]
 
+    init_emb, num_context = _initializer_embeddings(cfg, tokenizer, pretrained)
     common = dict(
         strategy=m.get("strategy", "coop"),
         prompt_depth=m.get("prompt_depth", 1),
-        num_context=m.get("num_context", 4),
+        num_context=num_context,
         use_new_last_layer=m.get("use_new_last_layer", True),
         freeze_all=m.get("freeze_all", True),
         no_freeze_last_layer=m.get("no_freeze_last_layer", False),
         dtype=dtype,
         learner_overrides=m.get("learner"),
+        initializer_embeddings=init_emb,
     )
     if family == "clipseg":
         config = clipseg_rd64_config(m.get("complex_head", False))
@@ -93,6 +118,7 @@ def build_model_and_task(cfg: dict, tokenizer=None):
         model, spec = build_cris(config=config,
                                  learner_overrides=m.get("learner"), **common)
     elif family == "trans_segmentor":
+        common.pop("initializer_embeddings", None)
         from tunevlseg_tpu.models.trans_segmentor.model import (
             TransformerSegmentor, TransSegmentorConfig)
         from tunevlseg_tpu.training.optim import FreezeSpec
@@ -145,14 +171,27 @@ def _make_task(cfg: dict, model, spec):
 
 
 def load_pretrained(cfg: dict):
-    """Load + convert a torch CLIPSeg checkpoint if configured."""
+    """Load + convert a torch checkpoint if configured. Returns None or a
+    dict of variable collections {"params": ..., ("batch_stats": ...)}."""
     path = cfg.get("pretrained_checkpoint")
     if not path:
         return None
-    from tunevlseg_tpu.convert.clipseg import load_checkpoint_params
     m = cfg["model"]
-    config = clipseg_rd64_config(m.get("complex_head", False))
-    return load_checkpoint_params(path, config, m.get("strategy"))
+    family = m.get("family", "clipseg")
+    if family == "cris":
+        from tunevlseg_tpu.convert.cris import (config_from_clip_state_dict,
+                                                load_cris_checkpoint)
+        from tunevlseg_tpu.models.presets import cris_rn50_config
+        return load_cris_checkpoint(path, cris_rn50_config(
+            cfg.get("img_size", 416)), m.get("strategy"))
+    from tunevlseg_tpu.convert.clipseg import load_checkpoint_params
+    if cfg.get("tiny_model"):
+        from tunevlseg_tpu.models.clip.config import CLIPSegConfig
+        config = CLIPSegConfig.tiny()
+    else:
+        config = clipseg_rd64_config(m.get("complex_head", False))
+    return {"params": load_checkpoint_params(path, config,
+                                             m.get("strategy"))}
 
 
 def main(argv: Optional[list[str]] = None) -> dict:
@@ -162,7 +201,11 @@ def main(argv: Optional[list[str]] = None) -> dict:
     seed = cfg.get("seed", 0)
     tokenizer = load_default_tokenizer(cfg.get("vocab_path"))
     datasets = build_datasets(cfg, tokenizer)
-    model, task = build_model_and_task(cfg, tokenizer)
+    loaded = load_pretrained(cfg)
+    model, task = build_model_and_task(cfg, tokenizer, pretrained=loaded)
+    params = loaded["params"] if loaded else None
+    variables = ({k: v for k, v in loaded.items() if k != "params"}
+                 if loaded else None)
 
     t = cfg["trainer"]
     mesh = mesh_lib.make_mesh(t.get("n_devices"),
@@ -177,9 +220,9 @@ def main(argv: Optional[list[str]] = None) -> dict:
 
     sample = next(iter(loaders["val"]))
     from tunevlseg_tpu.data.pipeline import device_batch
-    params = load_pretrained(cfg)
     state, frozen = task.init(jax.random.PRNGKey(seed),
-                              device_batch(sample), params=params)
+                              device_batch(sample), params=params,
+                              variables=variables)
 
     sched_cfg = cfg["model"].get("scheduler") or {}
     scheduler = None

@@ -163,3 +163,29 @@ def test_metric_hand_values():
     np.testing.assert_allclose(float(res["dice"]), 0.75)
     # global iou: tp=1, fp=1, fn=1 -> 1/3
     np.testing.assert_allclose(float(res["iou"]), 1 / 3)
+
+
+def test_device_side_normalization_matches_host(tokenizer, dataset_dir):
+    """uint8 host path + device-side (x/255-mean)/std == host Normalize."""
+    import jax
+    import jax.numpy as jnp
+
+    from tunevlseg_tpu.models.clip.config import CLIPSegConfig
+    from tunevlseg_tpu.models.clipseg.model import CLIPSegForSegmentation
+    from tunevlseg_tpu.training.task import SegmentationTask
+
+    ds_f32 = ImageTextMaskDataset(
+        image_dir=dataset_dir / "images", mask_dir=dataset_dir / "masks",
+        task_path=dataset_dir / "anns" / "train.json", prompt_index=0,
+        tokenizer=tokenizer, transforms=eval_transforms(32))
+    ds_u8 = ImageTextMaskDataset(
+        image_dir=dataset_dir / "images", mask_dir=dataset_dir / "masks",
+        task_path=dataset_dir / "anns" / "train.json", prompt_index=0,
+        tokenizer=tokenizer,
+        transforms=eval_transforms(32, normalize_on_device=True))
+    a, b = ds_f32[0], ds_u8[0]
+    assert b["image"].dtype == np.uint8
+
+    task = SegmentationTask(CLIPSegForSegmentation(CLIPSegConfig.tiny()))
+    prepped = np.asarray(task._prep_image(jnp.asarray(b["image"][None])))
+    np.testing.assert_allclose(prepped[0], a["image"], atol=1e-5)

@@ -114,7 +114,9 @@ class ImageTextMaskDataset(BaseImageTextMaskDataset):
 
         if self.transforms is not None:
             image, mask = self.transforms(image, mask, rng)
-        image, mask = to_chw(image.astype(np.float32), mask)
+        if image.dtype != np.uint8:  # normalized on host; uint8 stays packed
+            image = image.astype(np.float32)
+        image, mask = to_chw(image, mask)
 
         prompt = self.pick_prompt(task, rng)
         return {

@@ -16,6 +16,12 @@ from __future__ import annotations
 
 import queue
 import threading
+
+import cv2
+
+# each worker thread decodes one image; cv2's internal thread pool would
+# oversubscribe the host (threads x cores) — keep cv2 single-threaded
+cv2.setNumThreads(0)
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Iterator, Optional
 

@@ -193,22 +193,30 @@ def to_chw(image: np.ndarray, mask: Optional[np.ndarray]):
 
 def train_transforms(img_size: int,
                      mean=(0.485, 0.456, 0.406),
-                     std=(0.229, 0.224, 0.225)) -> Compose:
-    """The reference's canonical train pipeline (coop/clipseg.yaml:78-111)."""
-    return Compose([
+                     std=(0.229, 0.224, 0.225),
+                     normalize_on_device: bool = False) -> Compose:
+    """The reference's canonical train pipeline (coop/clipseg.yaml:78-111).
+
+    With `normalize_on_device` the image stays uint8 on the host (augments
+    run on uint8, 4x smaller host->device transfer) and the jitted step
+    applies (x/255 - mean)/std on the TPU — mathematically identical."""
+    steps = [
         Resize(img_size, img_size),
         Affine(p=0.2),
         PadIfNeeded(img_size, img_size),
         CropNonEmptyMaskIfExists(img_size, img_size),
         RandomBrightnessContrast(p=0.2),
-        Normalize(mean, std),
-    ])
+    ]
+    if not normalize_on_device:
+        steps.append(Normalize(mean, std))
+    return Compose(steps)
 
 
 def eval_transforms(img_size: int,
                     mean=(0.485, 0.456, 0.406),
-                    std=(0.229, 0.224, 0.225)) -> Compose:
-    return Compose([
-        Resize(img_size, img_size),
-        Normalize(mean, std),
-    ])
+                    std=(0.229, 0.224, 0.225),
+                    normalize_on_device: bool = False) -> Compose:
+    steps = [Resize(img_size, img_size)]
+    if not normalize_on_device:
+        steps.append(Normalize(mean, std))
+    return Compose(steps)

@@ -48,16 +48,17 @@ def build_datasets(cfg: dict, tokenizer) -> dict[str, Any]:
                   seed=cfg.get("seed", 0))
     img = cfg["img_size"]
     mean, std = cfg["img_mean"], cfg["img_std"]
+    nod = d.get("normalize_on_device", True)
     return {
         "train": ImageTextMaskDataset(
             task_path=d["train_task_path"],
-            transforms=train_transforms(img, mean, std), **common),
+            transforms=train_transforms(img, mean, std, nod), **common),
         "val": ImageTextMaskDataset(
             task_path=d["val_task_path"],
-            transforms=eval_transforms(img, mean, std), **common),
+            transforms=eval_transforms(img, mean, std, nod), **common),
         "test": ImageTextMaskDataset(
             task_path=d["test_task_path"],
-            transforms=eval_transforms(img, mean, std), **common),
+            transforms=eval_transforms(img, mean, std, nod), **common),
     }
 
 
@@ -167,7 +168,9 @@ def _make_task(cfg: dict, model, spec):
         threshold=m.get("threshold", 0.5),
         learning_rate=opt.get("lr", 2e-4),
         weight_decay=m.get("weight_decay", 0.0),
-        grad_clip_norm=cfg["trainer"].get("gradient_clip_val"))
+        grad_clip_norm=cfg["trainer"].get("gradient_clip_val"),
+        image_stats=(tuple(cfg.get("img_mean", (0.485, 0.456, 0.406))),
+                     tuple(cfg.get("img_std", (0.229, 0.224, 0.225)))))
 
 
 def load_pretrained(cfg: dict):

@@ -55,6 +55,10 @@ class SegmentationTask:
     weight_decay: float = 0.0
     grad_clip_norm: Optional[float] = None
     donate_state: bool = True
+    # (mean, std) for device-side normalization of uint8 image batches —
+    # the host then ships packed uint8 (4x less PCIe/DMA traffic) and the
+    # TPU fuses (x/255 - mean)/std into the first conv/patchify
+    image_stats: tuple = ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225))
 
     def __post_init__(self):
         self.tx = optim_lib.make_optimizer(
@@ -95,9 +99,18 @@ class SegmentationTask:
 
     # -- steps --------------------------------------------------------------
 
+    def _prep_image(self, image):
+        if image.dtype == jnp.uint8:
+            mean, std = self.image_stats
+            mean = jnp.asarray(mean, jnp.float32).reshape(1, -1, 1, 1)
+            std = jnp.asarray(std, jnp.float32).reshape(1, -1, 1, 1)
+            return (image.astype(jnp.float32) / 255.0 - mean) / std
+        return image
+
     def _forward(self, params, extras, batch, rngs=None, deterministic=True):
         return self.model.apply(
-            {"params": params, **extras}, batch["input_ids"], batch["image"],
+            {"params": params, **extras}, batch["input_ids"],
+            self._prep_image(batch["image"]),
             batch.get("attention_mask"), deterministic=deterministic,
             rngs=rngs)
 

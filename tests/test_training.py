@@ -128,3 +128,39 @@ def test_padded_batch_valid_masking(cpu_mesh, rng):
     mstate2, _ = evals(state, frozen, SegMetricState.zeros(),
                        mesh_lib.shard_batch(cpu_mesh, padded))
     assert float(mstate2.n_samples) == 4.0
+
+
+def test_cris_e2e_batch_stats_update(cpu_mesh, rng):
+    """e2e CRIS: neck/decoder/proj BatchNorm running stats update during
+    training (torch train-mode semantics); backbone stats stay frozen."""
+    import jax.numpy as jnp
+
+    from tunevlseg_tpu.models.cris.model import CRISConfig
+    from tunevlseg_tpu.models.presets import build_cris
+
+    cfg = CRISConfig.tiny()
+    model, spec = build_cris("e2e", config=cfg)
+    assert model.bn_train
+    task = SegmentationTask(model, spec, learning_rate=1e-3,
+                            mutable_collections=("batch_stats",))
+    batch = synthetic_batch(rng, batch=2, img=64, vocab=99)
+    batch["input_ids"] = np.clip(batch["input_ids"], 1, 98)
+    state, frozen = task.init(jax.random.PRNGKey(0), batch)
+    assert "batch_stats" in state.model_state
+    before = jax.tree_util.tree_map(np.asarray, state.model_state)
+
+    mesh2 = mesh_lib.make_mesh(2)  # batch=2 shards over 2 devices
+    train, _, _ = task.compile_steps(mesh2)
+    state2, _ = train(mesh_lib.replicate(mesh2, state),
+                      mesh_lib.replicate(mesh2, frozen),
+                      mesh_lib.shard_batch(mesh2, batch))
+
+    after = state2.model_state["batch_stats"]
+    # neck stats moved
+    neck_before = before["batch_stats"]["neck"]["f1_v_proj"]["bn"]["running_mean"]
+    neck_after = np.asarray(after["neck"]["f1_v_proj"]["bn"]["running_mean"])
+    assert np.abs(neck_after - neck_before).max() > 0
+    # backbone (frozen CLIP) stats did not
+    bb_before = before["batch_stats"]["visual"]["bn1"]["running_mean"]
+    bb_after = np.asarray(after["visual"]["bn1"]["running_mean"])
+    np.testing.assert_array_equal(bb_after, bb_before)

@@ -100,11 +100,12 @@ def build_cris(
         else:
             raise ValueError(f"CRIS supports coop/cocoop, got {strategy}")
         learner.check_depth(prompt_depth, cfg.transformer_layers)
+    bn_train = strategy in (None, "e2e")  # torch train-mode BN for e2e runs
     model = CRISForSegmentation(
         cfg, learner=learner,
         additive_mode=("residual" if use_new_last_layer
                        and strategy not in (None, "e2e") else "none"),
-        dtype=dtype)
+        bn_train=bn_train, dtype=dtype)
     spec = FreezeSpec(
         freeze_all=freeze_all if strategy not in (None, "e2e") else False,
         freeze_encoder=strategy in (None, "e2e"),  # CRIS default: frozen CLIP

@@ -163,12 +163,14 @@ def _make_task(cfg: dict, model, spec):
     loss_cfg = dict(m.get("loss_fn", {"name": "dice_ce"}))
     loss_fn = LOSS_REGISTRY[loss_cfg.pop("name")]
     opt = m.get("optimizer", {})
+    mutable = (("batch_stats",) if getattr(model, "bn_train", False) else ())
     return SegmentationTask(
         model, spec, loss_fn=loss_fn, loss_kwargs=loss_cfg,
         threshold=m.get("threshold", 0.5),
         learning_rate=opt.get("lr", 2e-4),
         weight_decay=m.get("weight_decay", 0.0),
         grad_clip_norm=cfg["trainer"].get("gradient_clip_val"),
+        mutable_collections=mutable,
         image_stats=(tuple(cfg.get("img_mean", (0.485, 0.456, 0.406))),
                      tuple(cfg.get("img_std", (0.229, 0.224, 0.225)))))
 

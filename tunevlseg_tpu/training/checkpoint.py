@@ -42,7 +42,7 @@ class CheckpointManager:
     def save(self, tag: str, state: Any, extra: dict) -> None:
         path = (self.dir / tag).resolve()
         payload = {"trainable": state.trainable, "opt_state": state.opt_state,
-                   "step": state.step}
+                   "step": state.step, "model_state": state.model_state}
         if path.exists():
             import shutil
             shutil.rmtree(path)
@@ -66,11 +66,14 @@ class CheckpointManager:
         path = (self.dir / tag).resolve()
         payload = {"trainable": state_like.trainable,
                    "opt_state": state_like.opt_state,
-                   "step": state_like.step}
+                   "step": state_like.step,
+                   "model_state": state_like.model_state}
         restored = self._ckptr.restore(path, payload)
         return state_like._replace(trainable=restored["trainable"],
                                    opt_state=restored["opt_state"],
-                                   step=restored["step"])
+                                   step=restored["step"],
+                                   model_state=restored.get(
+                                       "model_state", state_like.model_state))
 
     def restore_frozen(self, frozen_like: Any) -> Any:
         return self._ckptr.restore((self.dir / "frozen").resolve(),

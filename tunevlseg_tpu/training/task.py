@@ -42,6 +42,9 @@ class TrainState(NamedTuple):
     trainable: Any
     opt_state: Any
     rng: jax.Array
+    # mutable non-trainable collections (e.g. BatchNorm running stats when
+    # training with bn_train models); {} when nothing mutates
+    model_state: Any = {}
 
 
 @dataclasses.dataclass
@@ -55,6 +58,11 @@ class SegmentationTask:
     weight_decay: float = 0.0
     grad_clip_norm: Optional[float] = None
     donate_state: bool = True
+    # collections updated as side effects of the train step (e.g.
+    # ("batch_stats",) for e2e CRIS where neck/decoder BN stats train —
+    # torch train-mode semantics). They move from `frozen` into
+    # TrainState.model_state so the step can return updates.
+    mutable_collections: tuple = ()
     # (mean, std) for device-side normalization of uint8 image batches —
     # the host then ships packed uint8 (4x less PCIe/DMA traffic) and the
     # TPU fuses (x/255 - mean)/std into the first conv/patchify
@@ -91,10 +99,12 @@ class SegmentationTask:
             init_vars = deep_merge(dict(init_vars), dict(variables))
         trainable, frozen_params = optim_lib.partition_params(
             params, self.freeze_spec)
+        model_state = {k: init_vars.pop(k) for k in self.mutable_collections
+                       if k in init_vars}
         frozen = {"params": frozen_params, **init_vars}
         opt_state = self.tx.init(trainable)
         state = TrainState(jnp.zeros((), jnp.int32), trainable, opt_state,
-                           jax.random.fold_in(rng, 1))
+                           jax.random.fold_in(rng, 1), model_state)
         return state, frozen
 
     # -- steps --------------------------------------------------------------
@@ -119,11 +129,24 @@ class SegmentationTask:
         extras = {k: v for k, v in frozen.items() if k != "params"}
         return frozen["params"], extras
 
-    def _loss(self, trainable, frozen, batch, rng):
+    def _loss(self, trainable, model_state, frozen, batch, rng):
         frozen_params, extras = self._split_frozen(frozen)
         params = optim_lib.merge_params(trainable, frozen_params)
-        logits = self._forward(params, extras, batch, rngs={"dropout": rng},
-                               deterministic=False)
+        variables = {"params": params, **extras, **model_state}
+        if self.mutable_collections:
+            logits, updates = self.model.apply(
+                variables, batch["input_ids"],
+                self._prep_image(batch["image"]),
+                batch.get("attention_mask"), deterministic=False,
+                rngs={"dropout": rng},
+                mutable=list(self.mutable_collections))
+        else:
+            logits = self.model.apply(
+                variables, batch["input_ids"],
+                self._prep_image(batch["image"]),
+                batch.get("attention_mask"), deterministic=False,
+                rngs={"dropout": rng})
+            updates = {}
         mask = batch["mask"]
         valid = batch.get("valid")
         if valid is not None:
@@ -133,29 +156,32 @@ class SegmentationTask:
             logits = logits * v + (1 - v) * 0.0
             mask = mask * v
         loss = self.loss_fn(logits, mask, **self.loss_kwargs)
-        return loss, logits
+        return loss, (logits, updates)
 
     def train_step(self, state: TrainState, frozen, batch):
         rng = jax.random.fold_in(state.rng, state.step)
-        (loss, logits), grads = jax.value_and_grad(
-            self._loss, has_aux=True)(state.trainable, frozen, batch, rng)
+        (loss, (logits, new_model_state)), grads = jax.value_and_grad(
+            self._loss, has_aux=True)(state.trainable, state.model_state,
+                                      frozen, batch, rng)
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.trainable)
         trainable = optax.apply_updates(state.trainable, updates)
+        model_state = (new_model_state if self.mutable_collections
+                       else state.model_state)
         probs = jax.nn.sigmoid(logits.astype(jnp.float32))
         step_metrics = {
             "loss": loss,
             "dice": metrics_lib.dice_score(probs, batch["mask"], self.threshold),
             "iou": metrics_lib.iou_score(probs, batch["mask"], self.threshold),
         }
-        return TrainState(state.step + 1, trainable, opt_state, state.rng), \
-            step_metrics
+        return TrainState(state.step + 1, trainable, opt_state, state.rng,
+                          model_state), step_metrics
 
     def eval_step(self, state: TrainState, frozen,
                   metric_state: metrics_lib.SegMetricState, batch):
         frozen_params, extras = self._split_frozen(frozen)
         params = optim_lib.merge_params(state.trainable, frozen_params)
-        logits = self._forward(params, extras, batch)
+        logits = self._forward(params, {**extras, **state.model_state}, batch)
         mask = batch["mask"]
         valid = batch.get("valid")
         v = None if valid is None else valid
@@ -174,7 +200,7 @@ class SegmentationTask:
     def predict_step(self, state: TrainState, frozen, batch):
         frozen_params, extras = self._split_frozen(frozen)
         params = optim_lib.merge_params(state.trainable, frozen_params)
-        logits = self._forward(params, extras, batch)
+        logits = self._forward(params, {**extras, **state.model_state}, batch)
         return jax.nn.sigmoid(logits.astype(jnp.float32))
 
     # -- jit + sharding -----------------------------------------------------

@@ -230,3 +230,31 @@ def test_initializer_embeddings_num_context():
     assert emb.shape == (1, 4, 16)  # 4 tokens -> num_context 4
     ids = tok.encode("a photo of a", add_special_tokens=False)
     np.testing.assert_array_equal(emb[0], table[np.asarray(ids)])
+
+
+def test_image_dir_eval_cycle(tmp_path):
+    """Binarized class-dir suite through the eval entry point."""
+    import cv2
+    from tunevlseg_tpu import eval as eval_mod
+
+    root = tmp_path / "data" / "voc_bin"
+    (root / "images" / "validation").mkdir(parents=True)
+    for cls in ("car", "dog"):
+        (root / "annotations" / "validation" / cls).mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        cv2.imwrite(str(root / "images" / "validation" / f"{i}.png"),
+                    rng.integers(0, 255, (40, 40, 3), dtype=np.uint8))
+        cv2.imwrite(str(root / "annotations" / "validation" / "car" /
+                        f"{i}.png"), np.full((40, 40), 255, np.uint8))
+    result = eval_mod.main([
+        "data=image_dir_mask", "ds_name=voc_bin",
+        f"paths.data_root={tmp_path / 'data'}",
+        f"paths.log_dir={tmp_path / 'logs'}",
+        f"vocab_path={VOCAB}",
+        "img_size=32", "+tiny_model=true", "data.batch_size=2",
+        "data.num_workers=1", "trainer=debug", "trainer.n_devices=2",
+        "disable_ckpt=true", "ckpt_path=null", "predict=false",
+        "exp_name=dirsmoke",
+    ])
+    assert "test_dice" in result

@@ -39,16 +39,44 @@ CONFIG_DIR = Path(__file__).resolve().parents[1] / "configs"
 
 def build_datasets(cfg: dict, tokenizer) -> dict[str, Any]:
     d = cfg["data"]
-    common = dict(image_dir=d["image_dir"], mask_dir=d["mask_dir"],
-                  prompt_index=cfg["prompt_index"],
-                  override_prompt=cfg.get("override_prompt"),
-                  insert_stop_at_last=cfg.get("insert_stop_at_last", True),
-                  tokenizer=tokenizer, max_length=cfg.get("max_length", 77),
-                  tokenizer_style=d.get("tokenizer_style", "hf"),
-                  seed=cfg.get("seed", 0))
     img = cfg["img_size"]
     mean, std = cfg["img_mean"], cfg["img_std"]
     nod = d.get("normalize_on_device", True)
+    base = dict(image_dir=d["image_dir"], mask_dir=d["mask_dir"],
+                insert_stop_at_last=cfg.get("insert_stop_at_last", True),
+                tokenizer=tokenizer, max_length=cfg.get("max_length", 77),
+                tokenizer_style=d.get("tokenizer_style", "hf"),
+                seed=cfg.get("seed", 0))
+    ds_type = d.get("type", "image_text_mask")
+
+    if ds_type == "image_dir":
+        # binarized class-directory suites (eval-only; class name = prompt)
+        from tunevlseg_tpu.data.datasets import ImageDirTextMaskDataset
+        ds = ImageDirTextMaskDataset(
+            mask_suffix=d.get("mask_suffix", ".png"),
+            image_suffix=d.get("image_suffix", ".png"),
+            transforms=eval_transforms(img, mean, std, nod), **base)
+        return {"train": ds, "val": ds, "test": ds}
+    if ds_type in ("phrasecut", "refcoco"):
+        from tunevlseg_tpu.data.open_domain import (PhraseCutDataset,
+                                                    RefCOCODataset)
+        cls = PhraseCutDataset if ds_type == "phrasecut" else RefCOCODataset
+        od = dict(base, prompt_method=d.get("prompt_method", "fixed"),
+                  neg_prob=d.get("neg_prob", 0.0))
+        return {
+            "train": cls(task_path=d["train_task_path"],
+                         transforms=train_transforms(img, mean, std, nod),
+                         **od),
+            "val": cls(task_path=d["val_task_path"],
+                       transforms=eval_transforms(img, mean, std, nod),
+                       **dict(od, neg_prob=0.0)),
+            "test": cls(task_path=d["test_task_path"],
+                        transforms=eval_transforms(img, mean, std, nod),
+                        **dict(od, neg_prob=0.0)),
+        }
+
+    common = dict(base, prompt_index=cfg["prompt_index"],
+                  override_prompt=cfg.get("override_prompt"))
     return {
         "train": ImageTextMaskDataset(
             task_path=d["train_task_path"],

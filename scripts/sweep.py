@@ -2,11 +2,10 @@
 """Hyperparameter sweep driver — the TPU-native stand-in for the reference's
 Optuna TPE sweeps (configs/hparams_search/*_optuna.yaml).
 
-Optuna is not available in this image, so this driver implements random
-search over the same spaces (log-uniform lr/weight_decay, integer
-prompt_depth), runs `tunevlseg_tpu.train` per trial, and tracks the
-optimized metric. The per-trial config surface is identical to the manual
-schedule_*.sh drivers (one train.py invocation per setting).
+Optuna is not available in this image; this driver uses a self-contained TPE
+sampler (tunevlseg_tpu/utils/tpe.py) over the same spaces (log-uniform
+lr/weight_decay, integer prompt_depth) — or pure random search with
+--sampler random — running `tunevlseg_tpu.train` per trial.
 
 Usage:
     python scripts/sweep.py --trials 20 --metric test_loss --mode min \
@@ -16,26 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
-import math
-import random
 from pathlib import Path
-
-
-SPACES = {
-    "model.optimizer.lr": ("log", 1e-5, 5e-3),
-    "model.weight_decay": ("log", 1e-5, 1e-2),
-    "model.prompt_depth": ("int", 1, 10),
-}
-
-
-def sample(rng: random.Random) -> dict[str, float | int]:
-    out: dict[str, float | int] = {}
-    for key, (kind, lo, hi) in SPACES.items():
-        if kind == "log":
-            out[key] = math.exp(rng.uniform(math.log(lo), math.log(hi)))
-        else:
-            out[key] = rng.randint(int(lo), int(hi))
-    return out
 
 
 def main() -> None:
@@ -44,17 +24,23 @@ def main() -> None:
     ap.add_argument("--metric", default="test_loss")
     ap.add_argument("--mode", choices=("min", "max"), default="min")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--sampler", choices=("tpe", "random"), default="tpe")
     ap.add_argument("--results", type=Path, default=Path("sweep_results.json"))
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
 
     from tunevlseg_tpu.train import main as train_main
+    from tunevlseg_tpu.utils.tpe import REFERENCE_SPACES, TPESampler
 
-    rng = random.Random(args.seed)
+    sampler = TPESampler(REFERENCE_SPACES, seed=args.seed, mode=args.mode,
+                         n_startup=0 if args.sampler == "random" else 8)
+    if args.sampler == "random":
+        sampler.n_startup = 10 ** 9  # never leave the random phase
+
     results = []
     best = None
     for trial in range(args.trials):
-        params = sample(rng)
+        params = sampler.ask()
         trial_overrides = list(args.overrides) + [
             f"{k}={v}" for k, v in params.items()
         ] + [f"exp_name=sweep_trial{trial}"]
@@ -64,6 +50,7 @@ def main() -> None:
         except Exception as e:  # a failing trial must not kill the sweep
             print(f"trial {trial} failed: {e}")
             metrics, value = {"error": str(e)}, None
+        sampler.tell(params, value)
         results.append({"trial": trial, "params": params,
                         "metrics": {k: v for k, v in metrics.items()
                                     if isinstance(v, (int, float))},

@@ -23,8 +23,9 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-# Flipped on by ops.flash_attention at import when running on TPU.
-_USE_FLASH = os.environ.get("TUNEVLSEG_FLASH", "auto")
+# "1" opts in to the Pallas kernel; measured on v5e at the CLIP shapes
+# (S<=512, d=64) XLA's fused attention is already faster, so default off.
+_USE_FLASH = os.environ.get("TUNEVLSEG_FLASH", "0")
 _FLASH_MIN_SEQ = 256
 
 

@@ -49,7 +49,9 @@ def _forward(q, k, v, bias):
     block_q = min(_ceil_to(s, 8), 256)
     s_pad = _ceil_to(s, block_q)
     t_pad = _ceil_to(t, 128)
-    d_pad = _ceil_to(d, 128)
+    # keep the native head dim: Mosaic lane-pads internally without the
+    # explicit 2x FLOP cost of materializing zeros to 128
+    d_pad = _ceil_to(d, 64)
 
     def pad(x, seq_to):
         return jnp.pad(x, ((0, 0), (0, seq_to - x.shape[1]), (0, 0),
@@ -78,8 +80,10 @@ def _forward(q, k, v, bias):
             q_ref, k_ref, v_ref, b_ref, o_ref = refs
         else:
             q_ref, k_ref, v_ref, o_ref = refs
-        qb = q_ref[0].astype(jnp.float32)          # (block_q, d_pad)
-        kb = k_ref[0].astype(jnp.float32)          # (t_pad, d_pad)
+        # matmuls run at the input precision (bf16 MXU rate when the model
+        # computes in bf16) with f32 accumulation
+        qb = q_ref[0]                              # (block_q, d_pad)
+        kb = k_ref[0]                              # (t_pad, d_pad)
         scores = jax.lax.dot_general(
             qb, kb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
@@ -92,7 +96,7 @@ def _forward(q, k, v, bias):
         p = jnp.exp(scores - m)
         denom = jnp.sum(p, axis=-1, keepdims=True)
         out = jax.lax.dot_general(
-            p, v_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) / denom
         o_ref[0] = out.astype(o_ref.dtype)
 

@@ -15,31 +15,49 @@ value when reference hardware is available.
 """
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
 import numpy as np
 
 REF_STEPS_PER_SEC = 2.0
-BATCH = 64
-IMG = 352
 WARMUP = 3
 ITERS = 20
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="coop_clipseg",
+                    choices=("coop_clipseg", "coop_cris"))
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--img", type=int, default=None)
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
-    from tunevlseg_tpu.models.presets import build_clipseg
     from tunevlseg_tpu.parallel import mesh as mesh_lib
     from tunevlseg_tpu.training.task import SegmentationTask
 
     n_chips = len(jax.devices())
     mesh = mesh_lib.make_mesh(n_chips)
 
-    model, spec = build_clipseg("coop", prompt_depth=3, num_context=4,
-                                dtype=jnp.bfloat16)
+    BATCH = args.batch
+    if args.model == "coop_cris":
+        from tunevlseg_tpu.models.presets import build_cris, cris_rn50_config
+        IMG = args.img or 416
+        model, spec = build_cris("coop", prompt_depth=3, num_context=4,
+                                 config=cris_rn50_config(IMG),
+                                 dtype=jnp.bfloat16)
+        metric = f"cris_rn50_coop_train_steps_per_sec_per_chip_b{BATCH}_{IMG}"
+    else:
+        from tunevlseg_tpu.models.presets import build_clipseg
+        IMG = args.img or 352
+        model, spec = build_clipseg("coop", prompt_depth=3, num_context=4,
+                                    dtype=jnp.bfloat16)
+        metric = (f"clipseg_vitb16_coop_train_steps_per_sec_per_chip_"
+                  f"b{BATCH}_{IMG}")
     task = SegmentationTask(model, spec, learning_rate=2e-4)
 
     rng = np.random.default_rng(0)
@@ -47,7 +65,7 @@ def main() -> None:
     ids[:, 0] = 49406
     ids[:, 9:] = 49407
     batch = {
-        "image": rng.normal(size=(BATCH, 3, IMG, IMG)).astype(np.float32),
+        "image": rng.integers(0, 255, (BATCH, 3, IMG, IMG), dtype=np.uint8),
         "mask": (rng.random((BATCH, 1, IMG, IMG)) > 0.7).astype(np.float32),
         "input_ids": ids,
         "attention_mask": (ids != 49407).astype(np.int32),
@@ -77,7 +95,7 @@ def main() -> None:
     steps_per_sec = ITERS / dt
     per_chip = steps_per_sec / n_chips
     print(json.dumps({
-        "metric": "clipseg_vitb16_coop_train_steps_per_sec_per_chip_b64_352",
+        "metric": metric,
         "value": round(per_chip, 4),
         "unit": "steps/s/chip",
         "vs_baseline": round(per_chip / REF_STEPS_PER_SEC, 3),

@@ -6,9 +6,23 @@ the same inputs, and require近-identical logits. This exercises every op in
 the forward path (embeddings, attention, FiLM decoder, transposed conv,
 position-embedding interpolation) without needing network access.
 """
+import contextlib
+
 import numpy as np
 import pytest
 import torch
+
+
+@contextlib.contextmanager
+def f64_default():
+    """HF mask helpers call torch.full(finfo(f64).min) which overflows the
+    f32 default dtype; switch the default for the oracle forward."""
+    prev = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        yield
+    finally:
+        torch.set_default_dtype(prev)
 
 jax = pytest.importorskip("jax")
 import jax.numpy as jnp
@@ -76,12 +90,15 @@ def make_inputs(hf_cfg, batch=2, img=32, seq=12, seed=1):
 
 @pytest.mark.parametrize("complex_head", [False, True])
 def test_e2e_clipseg_parity(complex_head):
+    # f64 oracle: torch's oneDNN f32 kernel selection is process-state
+    # dependent on this CPU (passes standalone, degrades after other suites)
     hf_cfg = tiny_hf_config(complex_head)
-    tm = make_torch_model(hf_cfg)
+    tm = make_torch_model(hf_cfg).double()
     pixel, ids, mask = make_inputs(hf_cfg)
 
-    with torch.no_grad():
-        out = tm(input_ids=torch.tensor(ids), pixel_values=torch.tensor(pixel),
+    with torch.no_grad(), f64_default():
+        out = tm(input_ids=torch.tensor(ids),
+                 pixel_values=torch.tensor(pixel, dtype=torch.float64),
                  attention_mask=torch.tensor(mask)).logits.numpy()
 
     cfg = config_from_hf(hf_cfg)
@@ -96,11 +113,12 @@ def test_e2e_clipseg_parity(complex_head):
 def test_e2e_clipseg_parity_interpolated_positions():
     """Input resolution ≠ pretraining grid -> bicubic pos-emb interpolation."""
     hf_cfg = tiny_hf_config(image_size=32)
-    tm = make_torch_model(hf_cfg)
+    tm = make_torch_model(hf_cfg).double()
     pixel, ids, mask = make_inputs(hf_cfg, img=64)
 
-    with torch.no_grad():
-        out = tm(input_ids=torch.tensor(ids), pixel_values=torch.tensor(pixel),
+    with torch.no_grad(), f64_default():
+        out = tm(input_ids=torch.tensor(ids),
+                 pixel_values=torch.tensor(pixel, dtype=torch.float64),
                  attention_mask=torch.tensor(mask),
                  interpolate_pos_encoding=True).logits.numpy()
 

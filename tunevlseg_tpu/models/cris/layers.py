@@ -262,7 +262,6 @@ class Projector(nn.Module):
             x.reshape(1, b * c, h, w), weight.astype(x.dtype),
             window_strides=(1, 1), padding=((k // 2, k // 2), (k // 2, k // 2)),
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            feature_group_count=b,
-            preferred_element_type=jnp.float32).astype(x.dtype)
+            feature_group_count=b).astype(x.dtype)
         out = out + bias.reshape(1, b, 1, 1).astype(out.dtype)
         return out.transpose(1, 0, 2, 3)  # (B, 1, H, W)

@@ -54,7 +54,9 @@ def conv2d(x: jnp.ndarray, weight: jnp.ndarray, bias=None, stride: Size2 = 1,
         rhs_dilation=(dh, dw),
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
+        # NOTE: no preferred_element_type — it breaks lax.conv's transpose
+        # rule when the weight is cast (f32 param -> bf16 compute); TPU
+        # convs accumulate in f32 on the MXU regardless
     ).astype(x.dtype)
     if bias is not None:
         out = out + bias.reshape(1, -1, 1, 1).astype(out.dtype)

@@ -164,3 +164,41 @@ def test_cris_e2e_batch_stats_update(cpu_mesh, rng):
     bb_before = before["batch_stats"]["visual"]["bn1"]["running_mean"]
     bb_after = np.asarray(after["visual"]["bn1"]["running_mean"])
     np.testing.assert_array_equal(bb_after, bb_before)
+
+def test_tensor_parallel_matches_data_parallel(rng):
+    """dp=4×tp=2 (Megatron column/row rules on the frozen tower) must produce
+    the same loss/metrics as pure dp=8 — GSPMD only changes layout, not math."""
+    from tunevlseg_tpu.models.presets import build_clipseg
+    from tunevlseg_tpu.parallel import sharding_rules
+
+    cfg = CLIPSegConfig.tiny()
+    model, spec = build_clipseg("maple", prompt_depth=2, num_context=4,
+                                config=cfg)
+    task = SegmentationTask(model, spec, learning_rate=1e-3)
+    batch = synthetic_batch(rng)
+    state0, frozen0 = task.init(jax.random.PRNGKey(0), batch)
+    # donate_argnums would otherwise invalidate the shared state between runs
+    state0 = jax.tree_util.tree_map(np.asarray, state0)
+    frozen0 = jax.tree_util.tree_map(np.asarray, frozen0)
+
+    results = {}
+    for tp in (1, 2):
+        mesh = mesh_lib.make_mesh(8, model_parallel=tp)
+        state = mesh_lib.replicate(mesh, state0)
+        fsh = sharding_rules.tp_shardings(frozen0, mesh)
+        frozen = sharding_rules.shard_tree(frozen0, fsh)
+        if tp > 1:
+            # the rules must actually shard something on the model axis
+            specs = jax.tree_util.tree_leaves(
+                sharding_rules.tp_param_specs(frozen0, mesh),
+                is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))
+            assert any(s != jax.sharding.PartitionSpec() for s in specs)
+        train, _, _ = task.compile_steps(mesh, frozen_shardings=fsh)
+        sharded = mesh_lib.shard_batch(mesh, batch)
+        for _ in range(3):
+            state, metrics = train(state, frozen, sharded)
+        results[tp] = {k: float(v) for k, v in metrics.items()}
+
+    for k in results[1]:
+        np.testing.assert_allclose(results[2][k], results[1][k],
+                                   rtol=2e-5, atol=2e-6, err_msg=k)

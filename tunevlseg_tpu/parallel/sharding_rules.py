@@ -1,0 +1,81 @@
+"""Tensor-parallel (Megatron-style) sharding rules for the CLIP-family towers.
+
+The reference's only parallelism is data-parallel DDP (SURVEY §2.10/§5.8);
+here the second mesh axis (`model`) adds tensor parallelism on top of it for
+multi-chip serving or larger towers. Rules are regex → PartitionSpec over the
+flattened `/`-joined param path; the standard 1D-TP layout for a transformer
+block:
+
+  * q/k/v projections and MLP fc1: column-parallel — kernel (in, out) sharded
+    on `out` (heads / hidden split across chips, no collective needed);
+  * out_proj and MLP fc2: row-parallel — kernel sharded on `in`; GSPMD
+    inserts ONE psum over `model` per block half, riding ICI;
+  * embeddings, layernorms, biases of row-parallel layers: replicated.
+
+Nothing in the model code changes — GSPMD propagates these param shardings
+through the jitted step and places the collectives. Leaves whose dimension is
+not divisible by the mesh axis are silently replicated (safety for tiny debug
+configs and odd head counts).
+"""
+from __future__ import annotations
+
+import re
+from typing import Sequence
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tunevlseg_tpu.parallel.mesh import MODEL_AXIS
+
+# column-parallel: shard output features; the matching bias is sharded too.
+_COL = (r"(q_proj|k_proj|v_proj|fc1)")
+# row-parallel: shard input features; bias stays replicated (added once after
+# the psum).
+_ROW = (r"(out_proj|fc2)")
+
+DEFAULT_TP_RULES: Sequence[tuple[str, P]] = (
+    (rf".*/{_COL}/kernel$", P(None, MODEL_AXIS)),
+    (rf".*/{_COL}/bias$", P(MODEL_AXIS)),
+    (rf".*/{_ROW}/kernel$", P(MODEL_AXIS, None)),
+    (r".*", P()),
+)
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+
+
+def tp_param_specs(tree, mesh: Mesh,
+                   rules: Sequence[tuple[str, P]] = DEFAULT_TP_RULES):
+    """PartitionSpec pytree for `tree`: first matching rule wins; any spec
+    whose sharded dim is not divisible by the mesh axis falls back to P()."""
+    compiled = [(re.compile(pat), spec) for pat, spec in rules]
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+
+    def pick(path, leaf):
+        name = _path_str(path)
+        for pat, spec in compiled:
+            if pat.match(name):
+                if not hasattr(leaf, "shape") or len(spec) > getattr(
+                        leaf, "ndim", 0):
+                    return P()
+                for dim, axis in enumerate(spec):
+                    if axis is not None and (
+                            leaf.shape[dim] % axis_sizes[axis] != 0):
+                        return P()
+                return spec
+        return P()
+
+    return jax.tree_util.tree_map_with_path(pick, tree)
+
+
+def tp_shardings(tree, mesh: Mesh,
+                 rules: Sequence[tuple[str, P]] = DEFAULT_TP_RULES):
+    """NamedSharding pytree (usable directly as a jit in_sharding)."""
+    specs = tp_param_specs(tree, mesh, rules)
+    return jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs)
+
+
+def shard_tree(tree, shardings):
+    """device_put each leaf with its sharding."""
+    return jax.tree_util.tree_map(jax.device_put, tree, shardings)

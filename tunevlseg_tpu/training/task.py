@@ -205,27 +205,30 @@ class SegmentationTask:
 
     # -- jit + sharding -----------------------------------------------------
 
-    def compile_steps(self, mesh: Mesh):
-        """Jit the steps over the mesh: state/params replicated, batch
-        sharded on the data axis. GSPMD inserts the grad psum over ICI."""
+    def compile_steps(self, mesh: Mesh, frozen_shardings=None):
+        """Jit the steps over the mesh: trainable state replicated, batch
+        sharded on the data axis. GSPMD inserts the grad psum over ICI.
+
+        `frozen_shardings` (a pytree of NamedShardings matching the frozen
+        dict, e.g. from `parallel.sharding_rules.tp_shardings`) tensor-
+        parallelizes the frozen tower over the `model` mesh axis; default is
+        fully replicated (pure data parallel, the reference's DDP regime)."""
         repl = mesh_lib.replicated(mesh)
         bsh = mesh_lib.batch_sharding(mesh)
-
-        def batch_shardings(proto: dict):
-            return {k: bsh for k in proto}
+        fsh = repl if frozen_shardings is None else frozen_shardings
 
         train = jax.jit(
             self.train_step,
-            in_shardings=(repl, repl, None),
+            in_shardings=(repl, fsh, None),
             out_shardings=(repl, repl),
             donate_argnums=(0,) if self.donate_state else (),
         )
         evals = jax.jit(
             self.eval_step,
-            in_shardings=(repl, repl, repl, None),
+            in_shardings=(repl, fsh, repl, None),
             out_shardings=(repl, repl),
         )
         predict = jax.jit(self.predict_step,
-                          in_shardings=(repl, repl, None),
+                          in_shardings=(repl, fsh, None),
                           out_shardings=bsh)
         return train, evals, predict

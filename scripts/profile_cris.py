@@ -1,0 +1,86 @@
+"""Component-level CRIS step timing on the real chip (axon-safe sync)."""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np  # noqa: E402
+
+
+def timed(fn, args, iters=10, warmup=2):
+    import jax
+    for _ in range(warmup):
+        out = fn(*args)
+        jax.tree_util.tree_map(
+            lambda x: float(np.asarray(jax.device_get(x)).ravel()[0]), out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+        jax.tree_util.tree_map(
+            lambda x: float(np.asarray(jax.device_get(x)).ravel()[0]), out)
+    return (time.perf_counter() - t0) / iters * 1000
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tunevlseg_tpu.models.presets import build_cris, cris_rn50_config
+    from tunevlseg_tpu.parallel import mesh as mesh_lib
+    from tunevlseg_tpu.training.task import SegmentationTask
+
+    BATCH, IMG = 64, 416
+    cfg = cris_rn50_config(IMG)
+    model, spec = build_cris("coop", prompt_depth=3, num_context=4,
+                             config=cfg, dtype=jnp.bfloat16)
+    task = SegmentationTask(model, spec, learning_rate=2e-4, donate_state=False)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(3, 1000, size=(BATCH, 77)).astype(np.int32)
+    ids[:, 0] = 49406
+    ids[:, 9:] = 49407
+    batch = {
+        "image": rng.integers(0, 255, (BATCH, 3, IMG, IMG), dtype=np.uint8),
+        "mask": (rng.random((BATCH, 1, IMG, IMG)) > 0.7).astype(np.float32),
+        "input_ids": ids,
+        "attention_mask": (ids != 49407).astype(np.int32),
+        "valid": np.ones((BATCH,), np.float32),
+    }
+    mesh = mesh_lib.make_mesh()
+    state, frozen = task.init(jax.random.PRNGKey(0), batch)
+    state = mesh_lib.replicate(mesh, state)
+    frozen = mesh_lib.replicate(mesh, frozen)
+    sharded = mesh_lib.shard_batch(mesh, batch)
+    img_f = jnp.asarray(
+        (batch["image"].astype(np.float32) / 255.0 - 0.45) / 0.22,
+        jnp.bfloat16)
+
+    from tunevlseg_tpu.training import optim as optim_lib
+    params = optim_lib.merge_params(state.trainable, frozen["params"])
+    variables = {"params": params, **{k: v for k, v in frozen.items()
+                                      if k != "params"}}
+
+    # 1. vision tower alone (fwd)
+    vis = jax.jit(lambda v, x: model.apply(
+        v, x, method=lambda m, xx: m.backbone_visual(xx)))
+    try:
+        t_vis = timed(vis, (variables, img_f))
+        print(f"vision tower fwd: {t_vis:.1f} ms")
+    except Exception as e:
+        print("vision-only probe failed:", type(e).__name__, str(e)[:200])
+
+    # 2. full forward
+    fwd = jax.jit(lambda v, i, x, m: model.apply(v, i, x, m))
+    t_fwd = timed(fwd, (variables, jnp.asarray(batch["input_ids"]), img_f,
+                        jnp.asarray(batch["attention_mask"])))
+    print(f"full forward: {t_fwd:.1f} ms")
+
+    # 3. full train step
+    train, _, _ = task.compile_steps(mesh)
+    t_step = timed(lambda s, f, b: train(s, f, b)[1],
+                   (state, frozen, sharded))
+    print(f"full train step: {t_step:.1f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -160,3 +160,94 @@ def test_full_denseclip_forward():
     out = model.apply(variables, jnp.asarray(x))
     assert out.shape == (2, cfg.num_classes, 64, 64)
     assert bool(jnp.isfinite(out).all())
+
+
+@pytest.mark.parametrize("img", [64, 96])  # 96 exercises pos-emb interpolation
+def test_vit_backbone_parity(ref_models, img):
+    from tunevlseg_tpu.convert.denseclip import convert_vit_backbone
+    from tunevlseg_tpu.models.denseclip.model import (
+        CLIPVisionTransformerBackbone)
+
+    cfg = DenseCLIPConfig.tiny_vit()
+    torch.manual_seed(4)
+    ref = ref_models.CLIPVisionTransformer(
+        input_resolution=cfg.input_resolution, patch_size=cfg.patch_size,
+        width=cfg.vit_width, layers=cfg.vit_layers, heads=cfg.vit_heads,
+        output_dim=cfg.embed_dim, out_indices=list(cfg.vit_out_indices),
+        get_embeddings=True).double().eval()
+    conv = convert_vit_backbone(torch_state_dict_to_numpy(ref.state_dict()),
+                                cfg)
+
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(2, 3, img, img)).astype(np.float32)
+    with torch.no_grad():
+        outs = ref(torch.tensor(x, dtype=torch.float64))
+    model = CLIPVisionTransformerBackbone(cfg)
+    mine = model.apply({"params": conv["params"],
+                        "batch_stats": conv["batch_stats"]}, jnp.asarray(x))
+    for i in range(4):
+        np.testing.assert_allclose(np.asarray(mine[i]), outs[i].numpy(),
+                                   atol=3e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(mine[4][0]), outs[4][0].numpy(),
+                               atol=3e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(mine[4][1]), outs[4][1].numpy(),
+                               atol=3e-4, rtol=1e-3)
+
+
+def test_vit_denseclip_and_fpn_baseline_forward():
+    from tunevlseg_tpu.models.denseclip.model import CLIPFPNBaseline
+
+    cfg = DenseCLIPConfig.tiny_vit()
+    rng = np.random.default_rng(5)
+    class_ids = rng.integers(1, cfg.vocab_size - 1,
+                             (cfg.num_classes, cfg.text_context_length)
+                             ).astype(np.int32)
+    class_ids[:, -1] = cfg.vocab_size - 1
+    model = DenseCLIP(cfg, class_token_ids=class_ids)
+    x = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out = model.apply(variables, jnp.asarray(x))
+    assert out.shape == (2, cfg.num_classes, 64, 64)
+    assert bool(jnp.isfinite(out).all())
+
+    base = CLIPFPNBaseline(DenseCLIPConfig.tiny())
+    v2 = base.init(jax.random.PRNGKey(1), jnp.asarray(x))
+    out2 = base.apply(v2, jnp.asarray(x))
+    assert out2.shape == (2, cfg.num_classes, 64, 64)
+
+
+def test_slide_inference_semantics():
+    """Crop == image is identical to whole inference; tiled sweep reproduces
+    mmseg's clamped ceil-grid average (numpy re-derivation)."""
+    from tunevlseg_tpu.models.denseclip.inference import (slide_inference,
+                                                          whole_inference)
+
+    rng = np.random.default_rng(6)
+    h = w = 40
+    img = rng.normal(size=(1, 3, h, w)).astype(np.float32)
+
+    # apply_fn: logits depend on absolute pixel values so window placement
+    # matters — mean-pooled channel stats broadcast over a 2-class map
+    def apply_fn(x):
+        x = jnp.asarray(x)
+        c0 = x.mean(axis=1, keepdims=True)
+        return jnp.concatenate([c0, -c0], axis=1)
+
+    whole = np.asarray(whole_inference(apply_fn, img))
+    same = np.asarray(slide_inference(apply_fn, img, (h, w), (h, w)))
+    np.testing.assert_allclose(same, whole, rtol=1e-6)
+
+    crop, stride = (24, 24), (16, 16)
+    got = np.asarray(slide_inference(apply_fn, img, crop, stride))
+    preds = np.zeros((1, 2, h, w)); count = np.zeros((1, 1, h, w))
+    grids = lambda d, c, s: max(d - c + s - 1, 0) // s + 1
+    for i in range(grids(h, crop[0], stride[0])):
+        for j in range(grids(w, crop[1], stride[1])):
+            y1 = min(i * stride[0], h - crop[0])
+            x1 = min(j * stride[1], w - crop[1])
+            window = img[:, :, y1:y1 + crop[0], x1:x1 + crop[1]]
+            logits = np.asarray(apply_fn(window))
+            preds[:, :, y1:y1 + crop[0], x1:x1 + crop[1]] += logits
+            count[:, :, y1:y1 + crop[0], x1:x1 + crop[1]] += 1
+    assert count.min() >= 1
+    np.testing.assert_allclose(got, preds / count, rtol=1e-5, atol=1e-6)

@@ -77,3 +77,53 @@ def convert_context_decoder(sd: Mapping[str, np.ndarray],
     _ln(p, "out_proj_0", sd, g("out_proj.0"))
     _dense(p, "out_proj_1", sd, g("out_proj.1"))
     return p
+
+
+def _gn(p: _Tree, dst: str, sd, src: str) -> None:
+    p.set(f"{dst}/scale", sd[f"{src}.weight"])
+    p.set(f"{dst}/bias", sd[f"{src}.bias"])
+
+
+def _deconv(p: _Tree, dst: str, sd, src: str) -> None:
+    # torch ConvTranspose2d weight layout (I, O, k, k) == ours
+    p.set(f"{dst}/weight", sd[f"{src}.weight"])
+    p.set(f"{dst}/bias", sd[f"{src}.bias"])
+
+
+def convert_vit_backbone(sd: Mapping[str, np.ndarray], cfg: DenseCLIPConfig,
+                         prefix: str = "",
+                         get_embeddings: bool = True) -> dict[str, Any]:
+    """CLIPVisionTransformer (models.py:530) state dict -> pytree."""
+    p, s = _Tree(), _Tree()
+    g = lambda k: f"{prefix}{k}"
+    _conv(p, "conv1", sd, g("conv1"))
+    p.set("class_embedding", sd[g("class_embedding")])
+    p.set("positional_embedding", sd[g("positional_embedding")])
+    _ln(p, "ln_pre", sd, g("ln_pre"))
+    for i in range(cfg.vit_layers):
+        src = g(f"transformer.resblocks.{i}")
+        dst = f"resblocks_{i}"
+        _packed_mha(p, f"{dst}/self_attn", sd, f"{src}.attn")
+        _ln(p, f"{dst}/layer_norm1", sd, f"{src}.ln_1")
+        _ln(p, f"{dst}/layer_norm2", sd, f"{src}.ln_2")
+        _dense(p, f"{dst}/mlp/fc1", sd, f"{src}.mlp.c_fc")
+        _dense(p, f"{dst}/mlp/fc2", sd, f"{src}.mlp.c_proj")
+    if cfg.patch_size == 16:
+        _gn(p, "fpn1_gn", sd, g("fpn1.0"))
+        _deconv(p, "fpn1_deconv1", sd, g("fpn1.1"))
+        _bn(p, s, "fpn1_bn", sd, g("fpn1.2"))
+        _deconv(p, "fpn1_deconv2", sd, g("fpn1.4"))
+        _gn(p, "fpn2_gn", sd, g("fpn2.0"))
+        _deconv(p, "fpn2_deconv", sd, g("fpn2.1"))
+        _gn(p, "fpn3_gn", sd, g("fpn3"))
+        _gn(p, "fpn4_gn", sd, g("fpn4.0"))
+    else:  # patch 8
+        _gn(p, "fpn1_gn", sd, g("fpn1.0"))
+        _deconv(p, "fpn1_deconv", sd, g("fpn1.1"))
+        _gn(p, "fpn2_gn", sd, g("fpn2"))
+        _gn(p, "fpn3_gn", sd, g("fpn3.0"))
+        _gn(p, "fpn4_gn", sd, g("fpn4.0"))
+    if get_embeddings:
+        _ln(p, "ln_post", sd, g("ln_post"))
+        p.set("proj", sd[g("proj")])
+    return {"params": p, "batch_stats": s}

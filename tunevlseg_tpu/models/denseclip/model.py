@@ -64,6 +64,14 @@ class DenseCLIPConfig:
     score_concat_index: int = 3
     fpn_out_channels: int = 256
     head_channels: int = 128
+    # ViT backbone variant (denseclip_fpn_vit-b_640x640_80k.py)
+    backbone_type: str = "resnet"      # "resnet" | "vit"
+    patch_size: int = 16
+    vit_width: int = 768
+    vit_layers: int = 12
+    vit_heads: int = 12
+    vit_out_indices: Sequence[int] = (3, 5, 7, 11)
+    drop_path_rate: float = 0.0
 
     @property
     def total_context(self) -> int:
@@ -80,6 +88,14 @@ class DenseCLIPConfig:
                     fpn_out_channels=16, head_channels=16)
         base.update(kw)
         return DenseCLIPConfig(**base)
+
+    @staticmethod
+    def tiny_vit(**kw) -> "DenseCLIPConfig":
+        base = dict(backbone_type="vit", patch_size=16, vit_width=16,
+                    vit_layers=4, vit_heads=2, vit_out_indices=(0, 1, 2, 3),
+                    score_concat_index=2)
+        base.update(kw)
+        return DenseCLIPConfig.tiny(**base)
 
 
 class DenseCLIPAttentionPool(nn.Module):
@@ -126,8 +142,12 @@ class DenseCLIPAttentionPool(nn.Module):
 
 
 class CLIPResNetWithAttention(nn.Module):
+    """CLIP ModifiedResNet pyramid; `with_attnpool=False` gives the plain
+    `CLIPResNet` (models.py:234) used by the fpn_clip* baseline configs."""
+
     config: DenseCLIPConfig
     use_running_average: bool = True
+    with_attnpool: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -154,10 +174,162 @@ class CLIPResNetWithAttention(nn.Module):
                 inplanes = planes * Bottleneck.EXPANSION
             outs.append(x)
 
+        if not self.with_attnpool:
+            return tuple(outs)
         pooled = DenseCLIPAttentionPool(
             c.input_resolution // 32, w * 32, w * 32 // 64, c.embed_dim,
             dtype=self.dtype, name="attnpool")(outs[-1])
         return (*outs, pooled)
+
+
+class DropPath(nn.Module):
+    """Stochastic depth (timm_utils.drop_path): per-sample residual drop."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True):
+        if deterministic or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep, shape)
+        return x * mask.astype(x.dtype) / keep
+
+
+class ViTBlock(nn.Module):
+    """ResidualAttentionBlock with drop_path on both residuals
+    (models.py:391-427). Param names match PreNormEncoderLayer so the
+    packed-MHA converter path is shared."""
+
+    num_heads: int
+    drop_path: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True):
+        from tunevlseg_tpu.nn.layers import MultiHeadAttention, TransformerMLP
+        dp = DropPath(self.drop_path)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm1")(x)
+        x = x + dp(MultiHeadAttention(self.num_heads, dtype=self.dtype,
+                                      name="self_attn")(h), deterministic)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm2")(x)
+        return x + dp(TransformerMLP(x.shape[-1] * 4, "quick_gelu",
+                                     dtype=self.dtype, name="mlp")(h),
+                      deterministic)
+
+
+class GroupNorm1(nn.Module):
+    """torch GroupNorm(1, C) on NCHW: normalize over (C,H,W) per sample."""
+
+    channels: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (self.channels,))
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=(1, 2, 3), keepdims=True)
+        var = xf.var(axis=(1, 2, 3), keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale.reshape(1, -1, 1, 1) + bias.reshape(1, -1, 1, 1)
+        return y.astype(x.dtype)
+
+
+def max_pool_nchw(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    return jax.lax.reduce_window(
+        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else
+        jnp.iinfo(x.dtype).min,
+        jax.lax.max, (1, 1, k, k), (1, 1, k, k), "VALID")
+
+
+class CLIPVisionTransformerBackbone(nn.Module):
+    """CLIPVisionTransformer backbone (models.py:530-715): ViT trunk tapped at
+    `vit_out_indices`, each tap reshaped to a 2D map and run through the
+    fpn1..fpn4 pyramid ops (4x/2x/1x/0.5x for patch 16), plus the projected
+    (global, spatial) embedding pair when `get_embeddings`.
+
+    Faithfully keeps the reference quirk at models.py:677: the CLS position
+    embedding has `class_embedding` added AGAIN on top of the CLS token that
+    already contains it."""
+
+    config: DenseCLIPConfig
+    use_running_average: bool = True
+    get_embeddings: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True):
+        from tunevlseg_tpu.nn.conv import ConvTranspose2d
+        c = self.config
+        w = c.vit_width
+        spatial = c.input_resolution // c.patch_size
+        x = Conv2d(3, w, c.patch_size, stride=c.patch_size, use_bias=False,
+                   dtype=self.dtype, name="conv1")(x)
+        b, _, h, wd = x.shape
+        tokens = x.reshape(b, w, h * wd).transpose(0, 2, 1)     # (B, HW, w)
+
+        scale = w ** -0.5
+        cls_emb = self.param("class_embedding",
+                             nn.initializers.normal(scale), (w,))
+        pos = self.param("positional_embedding",
+                         nn.initializers.normal(scale),
+                         (spatial * spatial + 1, w))
+        cls_tok = jnp.broadcast_to(jnp.asarray(cls_emb, tokens.dtype),
+                                   (b, 1, w))
+        x = jnp.concatenate([cls_tok, tokens], axis=1)
+
+        cls_pos = (pos[0] + cls_emb)[None, None]               # the quirk
+        spatial_pos = jnp.asarray(pos[1:]).reshape(
+            1, spatial, spatial, w).transpose(0, 3, 1, 2)
+        spatial_pos = resize_2d(spatial_pos, (h, wd), "bilinear")
+        spatial_pos = spatial_pos.reshape(1, w, h * wd).transpose(0, 2, 1)
+        pos_full = jnp.concatenate(
+            [jnp.asarray(cls_pos), spatial_pos], axis=1)
+        x = x + pos_full.astype(x.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_pre")(x)
+
+        rates = np.linspace(0.0, c.drop_path_rate, c.vit_layers)
+        taps = []
+        for i in range(c.vit_layers):
+            x = ViTBlock(c.vit_heads, float(rates[i]), dtype=self.dtype,
+                         name=f"resblocks_{i}")(x, deterministic)
+            if i in tuple(c.vit_out_indices):
+                taps.append(x[:, 1:].transpose(0, 2, 1).reshape(b, w, h, wd))
+
+        ura = self.use_running_average
+        gelu = lambda t: jax.nn.gelu(t, approximate=False)
+        if c.patch_size == 16:
+            f = GroupNorm1(w, name="fpn1_gn")(taps[0])
+            f = ConvTranspose2d(w, w, 2, dtype=self.dtype,
+                                name="fpn1_deconv1")(f)
+            f = gelu(BatchNorm2d(w, ura, name="fpn1_bn")(f))
+            f1 = ConvTranspose2d(w, w, 2, dtype=self.dtype,
+                                 name="fpn1_deconv2")(f)
+            f2 = ConvTranspose2d(w, w, 2, dtype=self.dtype, name="fpn2_deconv")(
+                GroupNorm1(w, name="fpn2_gn")(taps[1]))
+            f3 = GroupNorm1(w, name="fpn3_gn")(taps[2])
+            f4 = max_pool_nchw(GroupNorm1(w, name="fpn4_gn")(taps[3]), 2)
+        elif c.patch_size == 8:
+            f1 = ConvTranspose2d(w, w, 2, dtype=self.dtype, name="fpn1_deconv")(
+                GroupNorm1(w, name="fpn1_gn")(taps[0]))
+            f2 = GroupNorm1(w, name="fpn2_gn")(taps[1])
+            f3 = max_pool_nchw(GroupNorm1(w, name="fpn3_gn")(taps[2]), 2)
+            f4 = max_pool_nchw(GroupNorm1(w, name="fpn4_gn")(taps[3]), 4)
+        else:
+            raise ValueError(f"unsupported patch size {c.patch_size}")
+        feats = [f1, f2, f3, f4]
+
+        if not self.get_embeddings:
+            return tuple(feats)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(x)
+        proj = self.param("proj", nn.initializers.normal(scale),
+                          (w, c.embed_dim))
+        y = y @ jnp.asarray(proj, y.dtype)
+        global_emb = y[:, 0]
+        visual_emb = y[:, 1:].reshape(b, h, wd, -1).transpose(0, 3, 1, 2)
+        return (*feats, (global_emb, visual_emb))
 
 
 class CLIPTextContextEncoder(nn.Module):
@@ -334,8 +506,12 @@ class DenseCLIP(nn.Module):
 
     def setup(self):
         c = self.config
-        self.backbone = CLIPResNetWithAttention(c, dtype=self.dtype,
-                                                name="backbone")
+        if c.backbone_type == "vit":
+            self.backbone = CLIPVisionTransformerBackbone(
+                c, dtype=self.dtype, name="backbone")
+        else:
+            self.backbone = CLIPResNetWithAttention(c, dtype=self.dtype,
+                                                    name="backbone")
         self.text_encoder = CLIPTextContextEncoder(c, dtype=self.dtype,
                                                    name="text_encoder")
         self.context_decoder = ContextDecoder(c, dtype=self.dtype,
@@ -345,8 +521,11 @@ class DenseCLIP(nn.Module):
             (1, c.context_length, c.transformer_width))
         self.gamma = self.param(
             "gamma", lambda key: jnp.full((c.embed_dim,), 1e-4, jnp.float32))
-        w = c.vision_width
-        stage_channels = [w * 4, w * 8, w * 16, w * 32]
+        if c.backbone_type == "vit":
+            stage_channels = [c.vit_width] * 4
+        else:
+            w = c.vision_width
+            stage_channels = [w * 4, w * 8, w * 16, w * 32]
         stage_channels[c.score_concat_index] += c.num_classes
         self.neck = FPNNeck(stage_channels, c.fpn_out_channels,
                             dtype=self.dtype, name="neck")
@@ -360,7 +539,8 @@ class DenseCLIP(nn.Module):
         c = self.config
         token_ids = (class_token_ids if class_token_ids is not None
                      else jnp.asarray(self.class_token_ids))
-        feats = self.backbone(images)
+        feats = (self.backbone(images, deterministic)
+                 if c.backbone_type == "vit" else self.backbone(images))
         x_orig = list(feats[:4])
         global_feat, visual_embeddings = feats[4]
 
@@ -385,4 +565,34 @@ class DenseCLIP(nn.Module):
 
         neck_out = self.neck(x_orig)
         logits = self.decode_head(neck_out)
+        return resize_2d(logits, images.shape[2:], "bilinear")
+
+
+class CLIPFPNBaseline(nn.Module):
+    """The fpn_clip* baseline configs (fpn_clipres50_512x512_80k.py etc.):
+    a frozen-CLIP backbone pyramid -> FPN neck -> FPN head, no text branch.
+    Covers both the plain `CLIPResNet` and the no-embeddings ViT backbone."""
+
+    config: DenseCLIPConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        c = self.config
+        if c.backbone_type == "vit":
+            feats = CLIPVisionTransformerBackbone(
+                c, get_embeddings=False, dtype=self.dtype,
+                name="backbone")(images, deterministic)
+            stage_channels = [c.vit_width] * 4
+        else:
+            feats = CLIPResNetWithAttention(
+                c, with_attnpool=False, dtype=self.dtype,
+                name="backbone")(images)
+            w = c.vision_width
+            stage_channels = [w * 4, w * 8, w * 16, w * 32]
+        neck_out = FPNNeck(stage_channels, c.fpn_out_channels,
+                           dtype=self.dtype, name="neck")(list(feats))
+        logits = FPNHead(c.num_classes, c.fpn_out_channels, c.head_channels,
+                         dtype=self.dtype, name="decode_head")(neck_out)
         return resize_2d(logits, images.shape[2:], "bilinear")

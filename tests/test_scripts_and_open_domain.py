@@ -130,3 +130,31 @@ def test_refcoco_dataset(tmp_path):
     item = ds[0]
     assert item["mask_name"] == "1-2-3.png"
     assert item["prompt"] == "a photo of the left dog."
+
+
+def test_multi_logger_backends(tmp_path):
+    import json as _json
+
+    import numpy as _np
+
+    from tunevlseg_tpu.utils.logging import MultiLogger
+
+    ml = MultiLogger(tmp_path, backends=("jsonl", "csv", "tensorboard"))
+    ml.log({"loss": 1.25, "dice": 0.5}, step=1, prefix="train_")
+    ml.log({"loss": 1.0, "val_iou": 0.4}, step=2, prefix="train_")
+    ml.log_images("val_caption_label",
+                  [_np.zeros((8, 8)), _np.ones((8, 8, 3)) * 0.5],
+                  step=2, captions=["a", "b"])
+    ml.close()
+
+    lines = [(tmp_path / "metrics.jsonl").read_text().splitlines()]
+    assert len(lines[0]) == 3
+    img_rec = _json.loads(lines[0][-1])
+    assert len(img_rec["images"]) == 2
+    import os
+    assert all(os.path.exists(p) for p in img_rec["images"])
+
+    csv_text = (tmp_path / "metrics.csv").read_text().splitlines()
+    assert csv_text[0].split(",")[:2] == ["train_loss", "train_dice"]
+    assert len(csv_text) == 3  # header + 2 rows (union-of-keys header)
+    assert (tmp_path / "tb").is_dir() and any((tmp_path / "tb").iterdir())

@@ -64,12 +64,16 @@ class Trainer:
     scheduler: Optional[ReduceLROnPlateau] = None
     early_stopping: Optional[EarlyStopping] = None
     limit_batches: Optional[int] = None  # debug (fdr/limit configs)
+    loggers: tuple = ("jsonl", "csv")    # configs/logger/* equivalents
+    log_image_num: int = 4               # val panel size (module.py:176)
 
     def __post_init__(self):
+        from tunevlseg_tpu.utils.logging import MultiLogger
         self.output_dir = Path(self.output_dir)
         self.ckpt = CheckpointManager(self.output_dir / "checkpoints",
                                       monitor=self.monitor)
-        self.metrics_log = MetricLogger(self.output_dir)
+        self.metrics_log = MultiLogger(self.output_dir,
+                                       backends=self.loggers)
         self._train_step, self._eval_step, self._predict_step = \
             self.task.compile_steps(self.mesh)
 
@@ -89,6 +93,32 @@ class Trainer:
                   for k, v in compute(mstate).items()}
         result[f"{prefix}_loss"] = loss_sum / max(n, 1.0)
         return result
+
+    def _log_val_panel(self, state, frozen, loader: DataLoader) -> None:
+        """First-validation image panel (input / target / prediction [+
+        prompt caption]) — the reference's wandb val_caption_label table
+        logged once at global step 0 (image_text_mask_module.py:171-199)."""
+        try:
+            batch = next(iter(loader))
+        except StopIteration:
+            return
+        sharded = mesh_lib.shard_batch(self.mesh, device_batch(batch))
+        preds = np.asarray(self._predict_step(state, frozen, sharded))
+        n = min(self.log_image_num, preds.shape[0])
+        panels, captions = [], []
+        for j in range(n):
+            img = np.asarray(batch["image"][j])            # (C, H, W)
+            if img.dtype == np.uint8:
+                rgb = img.transpose(1, 2, 0)
+            else:  # undo the dataset normalization for display
+                mean, std = self.task.image_stats
+                rgb = (img.transpose(1, 2, 0) * np.asarray(std)
+                       + np.asarray(mean))
+            panels.extend([rgb, np.asarray(batch["mask"][j, 0]), preds[j, 0]])
+            prompts = batch.get("prompt")
+            captions.append(prompts[j] if prompts is not None else f"#{j}")
+        self.metrics_log.log_images("val_caption_label", panels,
+                                    step=int(state.step), captions=captions)
 
     def fit(self, state, frozen, train_loader: DataLoader,
             val_loader: Optional[DataLoader] = None):
@@ -110,6 +140,8 @@ class Trainer:
 
             epoch_metrics: dict[str, float] = {"epoch": epoch}
             if val_loader is not None:
+                if epoch == 0 and self.log_image_num > 0:
+                    self._log_val_panel(state, frozen, val_loader)
                 epoch_metrics.update(
                     self._run_eval(state, frozen, val_loader, "val"))
                 self.metrics_log.log(epoch_metrics, global_step)

@@ -8,16 +8,14 @@ import numpy as np  # noqa: E402
 
 
 def timed(fn, args, iters=10, warmup=2):
-    import jax
+    """fn must return a SCALAR (sum-reduce inside the jit): fetching full
+    feature maps over the axon tunnel costs tens of seconds and would swamp
+    the measurement."""
     for _ in range(warmup):
-        out = fn(*args)
-        jax.tree_util.tree_map(
-            lambda x: float(np.asarray(jax.device_get(x)).ravel()[0]), out)
+        float(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-        jax.tree_util.tree_map(
-            lambda x: float(np.asarray(jax.device_get(x)).ravel()[0]), out)
+        float(fn(*args))
     return (time.perf_counter() - t0) / iters * 1000
 
 
@@ -61,25 +59,41 @@ def main():
                                       if k != "params"}}
 
     # 1. vision tower alone (fwd)
-    vis = jax.jit(lambda v, x: model.apply(
-        v, x, method=lambda m, xx: m.backbone_visual(xx)))
+    def _sum(t):
+        import jax as _j
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in _j.tree_util.tree_leaves(t))
+
+    vis = jax.jit(lambda v, x: _sum(model.apply(
+        v, x, method=lambda m, xx: m.backbone_visual(xx))))
     try:
         t_vis = timed(vis, (variables, img_f))
-        print(f"vision tower fwd: {t_vis:.1f} ms")
+        print(f"vision tower fwd: {t_vis:.1f} ms", flush=True)
     except Exception as e:
         print("vision-only probe failed:", type(e).__name__, str(e)[:200])
 
+    # 1b. text tower alone (fwd)
+    txt = jax.jit(lambda v, i, m: _sum(model.apply(
+        v, i, m, method=lambda mm, ii, ma: mm.backbone_text(
+            ii, pad_mask=(ma == 0)))))
+    try:
+        t_txt = timed(txt, (variables, jnp.asarray(batch["input_ids"]),
+                            jnp.asarray(batch["attention_mask"])))
+        print(f"text tower fwd: {t_txt:.1f} ms", flush=True)
+    except Exception as e:
+        print("text-only probe failed:", type(e).__name__, str(e)[:200],
+              flush=True)
+
     # 2. full forward
-    fwd = jax.jit(lambda v, i, x, m: model.apply(v, i, x, m))
+    fwd = jax.jit(lambda v, i, x, m: _sum(model.apply(v, i, x, m)))
     t_fwd = timed(fwd, (variables, jnp.asarray(batch["input_ids"]), img_f,
                         jnp.asarray(batch["attention_mask"])))
-    print(f"full forward: {t_fwd:.1f} ms")
+    print(f"full forward: {t_fwd:.1f} ms", flush=True)
 
     # 3. full train step
     train, _, _ = task.compile_steps(mesh)
-    t_step = timed(lambda s, f, b: train(s, f, b)[1],
+    t_step = timed(lambda s, f, b: train(s, f, b)[1]["loss"],
                    (state, frozen, sharded))
-    print(f"full train step: {t_step:.1f} ms")
+    print(f"full train step: {t_step:.1f} ms", flush=True)
 
 
 if __name__ == "__main__":

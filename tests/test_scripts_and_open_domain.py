@@ -158,3 +158,38 @@ def test_multi_logger_backends(tmp_path):
     assert csv_text[0].split(",")[:2] == ["train_loss", "train_dice"]
     assert len(csv_text) == 3  # header + 2 rows (union-of-keys header)
     assert (tmp_path / "tb").is_dir() and any((tmp_path / "tb").iterdir())
+
+
+def test_analyze_prompts_script(tmp_path):
+    import numpy as _np
+    import orbax.checkpoint as ocp
+
+    import importlib.util as _ilu
+    spec = _ilu.spec_from_file_location(
+        "analyze_prompts", "/root/repo/scripts/analyze_prompts.py")
+    ap = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(ap)
+
+    rng = _np.random.default_rng(0)
+    ckpt = tmp_path / "run" / "checkpoints"
+    ckpt.mkdir(parents=True)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save((ckpt / "best").resolve(), {
+        "trainable": {"learner": {
+            "context_vectors": rng.normal(size=(2, 4, 16)).astype("f4")}},
+        "step": _np.int32(3)})
+    ckptr.save((ckpt / "frozen").resolve(), {
+        "params": {"text": {"token_embedding": {
+            "embedding": rng.normal(size=(99, 16)).astype("f4")}}}})
+    ckptr.wait_until_finished()
+
+    out = tmp_path / "analysis"
+    reports = ap.analyze([tmp_path / "run"], out)
+    assert len(reports) == 1
+    assert reports[0]["shape"] == [2, 4, 16]
+    assert len(reports[0]["nearest_token_ids"]) == 8  # 2*4 vectors, top-3 ids
+    assert (out / "contexts.json").exists()
+    assert (out / "pca.csv").exists()
+    xy = _np.loadtxt(out / "pca.csv", delimiter=",", skiprows=1)
+    assert xy.shape == (8, 3)
+    assert (out / "tsne.csv").exists()

@@ -189,3 +189,42 @@ def test_device_side_normalization_matches_host(tokenizer, dataset_dir):
     task = SegmentationTask(CLIPSegForSegmentation(CLIPSegConfig.tiny()))
     prepped = np.asarray(task._prep_image(jnp.asarray(b["image"][None])))
     np.testing.assert_allclose(prepped[0], a["image"], atol=1e-5)
+
+
+def test_native_imgcodec_matches_cv2(tmp_path):
+    """Native libjpeg/libpng decode must be pixel-identical to the cv2 path
+    (PNG lossless; JPEG same libjpeg-turbo)."""
+    import cv2
+
+    from tunevlseg_tpu.data.datasets import load_image
+    from tunevlseg_tpu.native import get_imgcodec
+
+    codec = get_imgcodec()
+    if codec is None:
+        pytest.skip("native toolchain unavailable")
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, (45, 61, 3), dtype=np.uint8)
+    jpg, png = tmp_path / "a.jpg", tmp_path / "b.png"
+    cv2.imwrite(str(jpg), img)
+    cv2.imwrite(str(png), img)
+
+    for path in (jpg, png):
+        ref = cv2.cvtColor(cv2.imread(str(path)), cv2.COLOR_BGR2RGB)
+        got = codec.decode_file(str(path), 0)
+        np.testing.assert_array_equal(got, ref)
+        via_loader = load_image(path)
+        np.testing.assert_array_equal(via_loader, ref)
+        # grayscale flag
+        refg = cv2.imread(str(path), cv2.IMREAD_GRAYSCALE)
+        gotg = load_image(path, cv2.IMREAD_GRAYSCALE, None)
+        np.testing.assert_array_equal(gotg, refg)
+
+    with pytest.raises(FileNotFoundError):
+        load_image(tmp_path / "missing.png")
+
+    # corrupt stream falls back to cv2, which reports unreadable
+    bad = tmp_path / "bad.jpg"
+    bad.write_bytes(b"\xff\xd8garbage")
+    with pytest.raises(FileNotFoundError):
+        load_image(bad)

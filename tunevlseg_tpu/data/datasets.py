@@ -32,6 +32,28 @@ StrOrPath = Union[str, Path]
 
 def load_image(path: StrOrPath, flags: int = cv2.IMREAD_COLOR,
                cvt_color: Optional[int] = cv2.COLOR_BGR2RGB) -> np.ndarray:
+    """Decode an image to RGB (or grayscale). Prefers the native
+    libjpeg/libpng extension (GIL released for the whole decode, so the
+    loader's thread pool scales across host cores); falls back to cv2 for
+    other formats/flags. Both paths produce identical pixels (PNG exact,
+    JPEG same libjpeg-turbo)."""
+    from tunevlseg_tpu.native import get_imgcodec
+    codec = get_imgcodec()
+    if codec is not None and flags in (cv2.IMREAD_COLOR,
+                                       cv2.IMREAD_GRAYSCALE):
+        p = str(path)
+        if p.lower().endswith((".jpg", ".jpeg", ".png")):
+            try:
+                # native decode is RGB already; honor cvt_color=None callers
+                # (which expect cv2's BGR) by flipping back
+                img = codec.decode_file(p, int(flags == cv2.IMREAD_GRAYSCALE))
+                if img.ndim == 3 and cvt_color is None:
+                    img = img[..., ::-1]
+                return img
+            except FileNotFoundError:
+                raise
+            except (ValueError, OSError):
+                pass  # corrupt/unsupported stream -> cv2 fallback below
     img = cv2.imread(str(path), flags)
     if img is None:
         raise FileNotFoundError(f"could not read image: {path}")

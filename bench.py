@@ -29,7 +29,7 @@ ITERS = 20
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="coop_clipseg",
-                    choices=("coop_clipseg", "coop_cris"))
+                    choices=("coop_clipseg", "coop_cris", "trans_seg"))
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--img", type=int, default=None)
     args = ap.parse_args()
@@ -51,6 +51,19 @@ def main() -> None:
                                  config=cris_rn50_config(IMG),
                                  dtype=jnp.bfloat16)
         metric = f"cris_rn50_coop_train_steps_per_sec_per_chip_b{BATCH}_{IMG}"
+    elif args.model == "trans_seg":
+        import dataclasses
+
+        from tunevlseg_tpu.models.trans_segmentor.model import (
+            TransformerSegmentor, TransSegmentorConfig)
+        from tunevlseg_tpu.training.optim import FreezeSpec
+        IMG = args.img or 352
+        config = dataclasses.replace(TransSegmentorConfig(), image_size=IMG,
+                                     decoder_dropout=0.0)
+        model = TransformerSegmentor(config, dtype=jnp.bfloat16)
+        spec = FreezeSpec(freeze_all=False, family="trans_segmentor")
+        metric = (f"trans_seg_vitb16_full_finetune_train_steps_per_sec_"
+                  f"per_chip_b{BATCH}_{IMG}")
     else:
         from tunevlseg_tpu.models.presets import build_clipseg
         IMG = args.img or 352
@@ -78,10 +91,15 @@ def main() -> None:
     train, _, _ = task.compile_steps(mesh)
     sharded = mesh_lib.shard_batch(mesh, batch)
 
-    # NOTE: sync via device->host value transfer every step — on the
-    # experimental axon platform `block_until_ready` does not actually wait,
-    # yielding impossible (>peak-FLOPs) rates. A scalar read is an honest
-    # barrier and costs microseconds against a ~100ms step.
+    # NOTE on sync: on the experimental axon platform `block_until_ready`
+    # does not actually wait, so we use device->host scalar reads as the
+    # barrier. A per-step read costs a full ~30ms HTTP round trip (measured
+    # with a jitted no-op), which is NOT part of training: in steady state
+    # the host queues steps back-to-back and each step consumes the previous
+    # step's state, so ONE final read of the last step's loss (plus a
+    # trainable leaf, forcing the last optimizer update) transitively forces
+    # every queued step. Warmup keeps per-step syncs to stay honest about
+    # compile completion.
     for _ in range(WARMUP):
         state, metrics = train(state, frozen, sharded)
         float(metrics["loss"])
@@ -89,7 +107,8 @@ def main() -> None:
     t0 = time.perf_counter()
     for _ in range(ITERS):
         state, metrics = train(state, frozen, sharded)
-        float(metrics["loss"])
+    float(metrics["loss"])
+    float(jnp.sum(jax.tree_util.tree_leaves(state.trainable)[0]))
     dt = time.perf_counter() - t0
 
     steps_per_sec = ITERS / dt

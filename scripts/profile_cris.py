@@ -83,6 +83,41 @@ def main():
         print("text-only probe failed:", type(e).__name__, str(e)[:200],
               flush=True)
 
+    # 1c. per-call dispatch overhead (axon round trip)
+    noop = jax.jit(lambda x: x + 1.0)
+    t_noop = timed(noop, (jnp.zeros(()),))
+    print(f"dispatch+sync overhead: {t_noop:.1f} ms", flush=True)
+
+    # 1d. head components: neck -> decoder -> proj on captured activations
+    def head_fn(v, x, i, ma):
+        def run(mm, xx, ii, mam):
+            vis = mm.backbone_visual(xx)
+            pad_mask = (mam == 0)
+            tokens, state = mm.backbone_text(ii, pad_mask=pad_mask)
+            fq = mm.neck(vis, state)
+            fq2 = mm.decoder(fq, tokens, pad_mask, deterministic=True)
+            pred = mm.proj(fq2, state)
+            return vis, tokens, state, fq, fq2, pred
+        return model.apply(v, x, i, ma, method=run)
+    acts = jax.jit(head_fn)(variables, img_f, jnp.asarray(batch["input_ids"]),
+                            jnp.asarray(batch["attention_mask"]))
+    vis_a, tokens_a, state_a, fq_a, fq2_a, pred_a = acts
+    pad = jnp.asarray(batch["attention_mask"]) == 0
+
+    neck = jax.jit(lambda v, vis, st: _sum(model.apply(
+        v, vis, st, method=lambda mm, a, b: mm.neck(a, b))))
+    print(f"neck fwd: {timed(neck, (variables, vis_a, state_a)):.1f} ms",
+          flush=True)
+    dec = jax.jit(lambda v, fq, tok: _sum(model.apply(
+        v, fq, tok, pad, method=lambda mm, a, b, c: mm.decoder(
+            a, b, c, deterministic=True))))
+    print(f"decoder fwd: {timed(dec, (variables, fq_a, tokens_a)):.1f} ms",
+          flush=True)
+    proj = jax.jit(lambda v, fq2, st: _sum(model.apply(
+        v, fq2, st, method=lambda mm, a, b: mm.proj(a, b))))
+    print(f"proj fwd: {timed(proj, (variables, fq2_a, state_a)):.1f} ms",
+          flush=True)
+
     # 2. full forward
     fwd = jax.jit(lambda v, i, x, m: _sum(model.apply(v, i, x, m)))
     t_fwd = timed(fwd, (variables, jnp.asarray(batch["input_ids"]), img_f,

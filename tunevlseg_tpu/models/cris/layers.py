@@ -257,11 +257,20 @@ class Projector(nn.Module):
         params = nn.Dense(c * k * k + 1, dtype=self.dtype, name="txt")(word)
         weight = params[:, :-1].reshape(b, c, k, k)
         bias = params[:, -1]
-        # grouped conv with groups=B — identical math to torch F.conv2d
-        out = jax.lax.conv_general_dilated(
-            x.reshape(1, b * c, h, w), weight.astype(x.dtype),
-            window_strides=(1, 1), padding=((k // 2, k // 2), (k // 2, k // 2)),
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            feature_group_count=b).astype(x.dtype)
-        out = out + bias.reshape(1, b, 1, 1).astype(out.dtype)
-        return out.transpose(1, 0, 2, 3)  # (B, 1, H, W)
+        # per-sample dynamic conv as k*k shifted contractions — identical
+        # math to torch F.conv2d(groups=B) but ~5x faster on TPU: a grouped
+        # conv with ONE output channel per group wastes the 128-lane output
+        # tile (measured 18ms vs 3.4ms at b64/c256/104 net of dispatch,
+        # scripts/micro_dynconv.py); each tap is a bandwidth-bound batched
+        # contraction over channels with f32 accumulation
+        xp = jnp.pad(x, ((0, 0), (0, 0), (k // 2, k // 2), (k // 2, k // 2)))
+        wx = weight.astype(x.dtype)
+        out = None
+        for dy in range(k):
+            for dx in range(k):
+                tap = jnp.einsum("bchw,bc->bhw",
+                                 xp[:, :, dy:dy + h, dx:dx + w], wx[:, :, dy, dx],
+                                 preferred_element_type=jnp.float32)
+                out = tap if out is None else out + tap
+        out = out.astype(x.dtype) + bias.reshape(b, 1, 1).astype(x.dtype)
+        return out[:, None]  # (B, 1, H, W)

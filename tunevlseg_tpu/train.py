@@ -227,6 +227,17 @@ def load_pretrained(cfg: dict):
                                              m.get("strategy"))}
 
 
+def save_composed_config(cfg: dict, output_dir: Path) -> None:
+    """Persist the fully composed config next to the run outputs — the
+    reference's `log_hyperparameters` / hydra `.hydra/config.yaml` role
+    (src/utils/logging_utils.py:16)."""
+    import yaml
+
+    output_dir.mkdir(parents=True, exist_ok=True)
+    with open(output_dir / "config.yaml", "w") as fp:
+        yaml.safe_dump(cfg, fp, default_flow_style=False, sort_keys=False)
+
+
 def main(argv: Optional[list[str]] = None) -> dict:
     overrides = argv if argv is not None else sys.argv[1:]
     cfg = compose(CONFIG_DIR, "train", overrides)
@@ -274,7 +285,10 @@ def main(argv: Optional[list[str]] = None) -> dict:
         early_stopping=EarlyStopping(
             patience=es_cfg.get("patience", 12),
             min_delta=es_cfg.get("min_delta", 1e-4)),
-        limit_batches=t.get("limit_batches"))
+        limit_batches=t.get("limit_batches"),
+        loggers=tuple(t.get("loggers", ("jsonl", "csv"))),
+        log_image_num=t.get("log_image_num", 4))
+    save_composed_config(cfg, trainer.output_dir)
 
     result: dict[str, Any] = {}
     if cfg.get("train", True):

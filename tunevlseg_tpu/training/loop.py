@@ -74,8 +74,22 @@ class Trainer:
                                       monitor=self.monitor)
         self.metrics_log = MultiLogger(self.output_dir,
                                        backends=self.loggers)
-        self._train_step, self._eval_step, self._predict_step = \
-            self.task.compile_steps(self.mesh)
+        self._train_step = None
+        self._fsh = None
+
+    def _place_frozen(self, frozen):
+        """Compile the steps on first use and place the frozen tree: tensor-
+        parallel over the `model` mesh axis when it has size > 1 (Megatron
+        column/row rules), fully replicated otherwise."""
+        if self._train_step is None:
+            if dict(self.mesh.shape).get(mesh_lib.MODEL_AXIS, 1) > 1:
+                from tunevlseg_tpu.parallel import sharding_rules
+                self._fsh = sharding_rules.tp_shardings(frozen, self.mesh)
+            self._train_step, self._eval_step, self._predict_step = \
+                self.task.compile_steps(self.mesh, self._fsh)
+        if self._fsh is None:
+            return mesh_lib.replicate(self.mesh, frozen)
+        return jax.tree_util.tree_map(jax.device_put, frozen, self._fsh)
 
     # ---------------------------------------------------------------
 
@@ -122,7 +136,7 @@ class Trainer:
 
     def fit(self, state, frozen, train_loader: DataLoader,
             val_loader: Optional[DataLoader] = None):
-        frozen = mesh_lib.replicate(self.mesh, frozen)
+        frozen = self._place_frozen(frozen)
         state = mesh_lib.replicate(self.mesh, state)
         self.ckpt.save_frozen(frozen)
 
@@ -166,7 +180,7 @@ class Trainer:
 
     def test(self, state, frozen, test_loader: DataLoader,
              use_best: bool = True):
-        frozen = mesh_lib.replicate(self.mesh, frozen)
+        frozen = self._place_frozen(frozen)
         if use_best and (self.ckpt.dir / "best").exists():
             state = self.ckpt.restore("best", state)
         result = self._run_eval(state, frozen, test_loader, "test")
@@ -180,7 +194,7 @@ class Trainer:
         sample's original resolution (reference src/utils/save_utils.py)."""
         import cv2
 
-        frozen = mesh_lib.replicate(self.mesh, frozen)
+        frozen = self._place_frozen(frozen)
         if use_best and (self.ckpt.dir / "best").exists():
             state = self.ckpt.restore("best", state)
         outputs = []

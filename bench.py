@@ -32,6 +32,9 @@ def main() -> None:
                     choices=("coop_clipseg", "coop_cris", "trans_seg"))
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--img", type=int, default=None)
+    ap.add_argument("--scan", type=int, default=5,
+                    help="steps fused per executable (steps-per-execution); "
+                         "1 = a separate launch per step")
     args = ap.parse_args()
 
     import jax
@@ -88,8 +91,18 @@ def main() -> None:
     state, frozen = task.init(jax.random.PRNGKey(0), batch)
     state = mesh_lib.replicate(mesh, state)
     frozen = mesh_lib.replicate(mesh, frozen)
-    train, _, _ = task.compile_steps(mesh)
-    sharded = mesh_lib.shard_batch(mesh, batch)
+    K = max(1, args.scan)
+    if K > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        train = task.compile_train_multistep(mesh, K)
+        stacked_sh = NamedSharding(mesh, P(None, mesh_lib.DATA_AXIS))
+        # device-resident once — otherwise every launch re-ships the full
+        # stacked batch from host, which dwarfs the step on this transport
+        sharded = {k: jax.device_put(np.stack([v] * K), stacked_sh)
+                   for k, v in batch.items()}
+    else:
+        train, _, _ = task.compile_steps(mesh)
+        sharded = mesh_lib.shard_batch(mesh, batch)
 
     # NOTE on sync: on the experimental axon platform `block_until_ready`
     # does not actually wait, so we use device->host scalar reads as the
@@ -111,7 +124,7 @@ def main() -> None:
     float(jnp.sum(jax.tree_util.tree_leaves(state.trainable)[0]))
     dt = time.perf_counter() - t0
 
-    steps_per_sec = ITERS / dt
+    steps_per_sec = ITERS * K / dt
     per_chip = steps_per_sec / n_chips
     print(json.dumps({
         "metric": metric,

@@ -290,3 +290,27 @@ def test_train_with_tensor_parallel_and_config_dump(synth_root, tmp_path):
     assert (run_dir / "metrics.csv").exists()
     # the step-0 val panel got written
     assert list((run_dir / "images").glob("val_caption_label_*.png"))
+
+
+def test_train_steps_per_execution(synth_root, tmp_path):
+    """trainer.steps_per_execution=2 fuses train steps via lax.scan through
+    the full CLI cycle."""
+    from tunevlseg_tpu import train as train_mod
+
+    out = tmp_path / "logs"
+    result = train_mod.main([
+        "ds_name=kvasir_polyp",
+        f"paths.data_root={synth_root}",
+        f"paths.log_dir={out}",
+        f"vocab_path={VOCAB}",
+        "img_size=32",
+        "+tiny_model=true",
+        "data.batch_size=4",
+        "data.num_workers=2",
+        "trainer=debug",
+        "trainer.max_epochs=1",
+        "trainer.n_devices=4",
+        "+trainer.steps_per_execution=2",
+        "exp_name=spe_smoke",
+    ])
+    assert "test_dice" in result and 0 <= result["test_dice"] <= 1

@@ -202,3 +202,40 @@ def test_tensor_parallel_matches_data_parallel(rng):
     for k in results[1]:
         np.testing.assert_allclose(results[2][k], results[1][k],
                                    rtol=2e-5, atol=2e-6, err_msg=k)
+
+
+def test_multistep_scan_matches_sequential(cpu_mesh, rng):
+    """k fused steps (lax.scan executable) must produce exactly the same
+    final state as k sequential single-step calls (same rng fold-ins)."""
+    from tunevlseg_tpu.models.presets import build_clipseg
+
+    cfg = CLIPSegConfig.tiny()
+    model, spec = build_clipseg("coop", prompt_depth=2, num_context=4,
+                                config=cfg)
+    task = SegmentationTask(model, spec, learning_rate=1e-2,
+                            donate_state=False)
+    b1 = synthetic_batch(rng)
+    b2 = synthetic_batch(np.random.default_rng(5))
+    state0, frozen = task.init(jax.random.PRNGKey(0), b1)
+    state0 = jax.tree_util.tree_map(np.asarray, state0)
+    frozen = mesh_lib.replicate(cpu_mesh, frozen)
+
+    train, _, _ = task.compile_steps(cpu_mesh)
+    s = mesh_lib.replicate(cpu_mesh, state0)
+    s, m1 = train(s, frozen, mesh_lib.shard_batch(cpu_mesh, b1))
+    s, m2 = train(s, frozen, mesh_lib.shard_batch(cpu_mesh, b2))
+    seq_tree = jax.tree_util.tree_map(np.asarray, s.trainable)
+
+    multi = task.compile_train_multistep(cpu_mesh, 2)
+    stacked = jax.tree_util.tree_map(lambda a, b: np.stack([a, b]), b1, b2)
+    s2 = mesh_lib.replicate(cpu_mesh, state0)
+    s2, mm = multi(s2, frozen, stacked)
+    fused_tree = jax.tree_util.tree_map(np.asarray, s2.trainable)
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7),
+        seq_tree, fused_tree)
+    np.testing.assert_allclose(
+        float(mm["loss"]),
+        (float(m1["loss"]) + float(m2["loss"])) / 2, rtol=1e-6)
+    assert int(s2.step) == 2

@@ -242,6 +242,10 @@ def main(argv: Optional[list[str]] = None) -> dict:
     overrides = argv if argv is not None else sys.argv[1:]
     cfg = compose(CONFIG_DIR, "train", overrides)
 
+    if cfg.get("debug_nans"):
+        # reference debug/default.yaml detect_anomaly -> fail fast on NaNs
+        jax.config.update("jax_debug_nans", True)
+
     seed = cfg.get("seed", 0)
     tokenizer = load_default_tokenizer(cfg.get("vocab_path"))
     datasets = build_datasets(cfg, tokenizer)
@@ -287,12 +291,21 @@ def main(argv: Optional[list[str]] = None) -> dict:
             min_delta=es_cfg.get("min_delta", 1e-4)),
         limit_batches=t.get("limit_batches"),
         loggers=tuple(t.get("loggers", ("jsonl", "csv"))),
-        log_image_num=t.get("log_image_num", 4))
+        log_image_num=t.get("log_image_num", 4),
+        steps_per_execution=t.get("steps_per_execution", 1))
     save_composed_config(cfg, trainer.output_dir)
 
     result: dict[str, Any] = {}
     if cfg.get("train", True):
-        state = trainer.fit(state, frozen, loaders["train"], loaders["val"])
+        if cfg.get("profile"):
+            # reference debug/profiler.yaml -> jax.profiler trace of the fit
+            from tunevlseg_tpu.utils.profiling import trace
+            with trace(str(trainer.output_dir / "profile")):
+                state = trainer.fit(state, frozen, loaders["train"],
+                                    loaders["val"])
+        else:
+            state = trainer.fit(state, frozen, loaders["train"],
+                                loaders["val"])
     if cfg.get("test", True):
         result.update(trainer.test(state, frozen, loaders["test"]))
     if cfg.get("predict", False):

@@ -66,6 +66,10 @@ class Trainer:
     limit_batches: Optional[int] = None  # debug (fdr/limit configs)
     loggers: tuple = ("jsonl", "csv")    # configs/logger/* equivalents
     log_image_num: int = 4               # val panel size (module.py:176)
+    # >1 fuses that many train steps into ONE XLA executable (lax.scan),
+    # amortizing per-launch dispatch latency; metrics are means over the
+    # scanned steps. Leftover batches at epoch end run the 1-step program.
+    steps_per_execution: int = 1
 
     def __post_init__(self):
         from tunevlseg_tpu.utils.logging import MultiLogger
@@ -87,6 +91,10 @@ class Trainer:
                 self._fsh = sharding_rules.tp_shardings(frozen, self.mesh)
             self._train_step, self._eval_step, self._predict_step = \
                 self.task.compile_steps(self.mesh, self._fsh)
+            self._multi_step = (
+                self.task.compile_train_multistep(
+                    self.mesh, self.steps_per_execution, self._fsh)
+                if self.steps_per_execution > 1 else None)
         if self._fsh is None:
             return mesh_lib.replicate(self.mesh, frozen)
         return jax.tree_util.tree_map(jax.device_put, frozen, self._fsh)
@@ -134,6 +142,24 @@ class Trainer:
         self.metrics_log.log_images("val_caption_label", panels,
                                     step=int(state.step), captions=captions)
 
+    def _train_groups(self, loader):
+        """Yield either single batches or `steps_per_execution`-sized lists
+        (only full groups are fused; stragglers run one step at a time)."""
+        k = self.steps_per_execution
+        pending = []
+        for i, batch in enumerate(loader):
+            if self.limit_batches is not None and i >= self.limit_batches:
+                break
+            if k <= 1:
+                yield batch
+                continue
+            pending.append(batch)
+            if len(pending) == k:
+                yield pending
+                pending = []
+        for batch in pending:
+            yield batch
+
     def fit(self, state, frozen, train_loader: DataLoader,
             val_loader: Optional[DataLoader] = None):
         frozen = self._place_frozen(frozen)
@@ -143,13 +169,21 @@ class Trainer:
         global_step = int(state.step)
         for epoch in range(self.max_epochs):
             train_loader.set_epoch(epoch)
-            for i, batch in enumerate(train_loader):
-                if self.limit_batches is not None and i >= self.limit_batches:
-                    break
-                sharded = mesh_lib.shard_batch(self.mesh, device_batch(batch))
-                state, m = self._train_step(state, frozen, sharded)
-                global_step += 1
-                if global_step % self.log_every_n_steps == 0:
+            for group in self._train_groups(train_loader):
+                if isinstance(group, list):  # fused multi-step chunk
+                    stacked = jax.tree_util.tree_map(
+                        lambda *xs: np.stack(xs), *[device_batch(b)
+                                                    for b in group])
+                    state, m = self._multi_step(state, frozen, stacked)
+                    global_step += len(group)
+                else:
+                    sharded = mesh_lib.shard_batch(self.mesh,
+                                                   device_batch(group))
+                    state, m = self._train_step(state, frozen, sharded)
+                    global_step += 1
+                if (global_step // self.log_every_n_steps) != (
+                        (global_step - (len(group) if isinstance(group, list)
+                                        else 1)) // self.log_every_n_steps):
                     self.metrics_log.log(m, global_step, prefix="train_")
 
             epoch_metrics: dict[str, float] = {"epoch": epoch}

@@ -232,3 +232,30 @@ class SegmentationTask:
                           in_shardings=(repl, fsh, None),
                           out_shardings=bsh)
         return train, evals, predict
+
+    def compile_train_multistep(self, mesh: Mesh, num_steps: int,
+                                frozen_shardings=None):
+        """One XLA executable running `num_steps` train steps via lax.scan
+        (steps-per-execution). Takes batches stacked on a leading axis
+        (num_steps, B, ...) sharded (None, data) and returns metrics
+        averaged over the scanned steps. Amortizes per-launch host/dispatch
+        latency — on the remote-TPU transport here that is ~20ms/step,
+        nearly a third of the CLIPSeg step."""
+        repl = mesh_lib.replicated(mesh)
+        stacked = NamedSharding(mesh, P(None, mesh_lib.DATA_AXIS))
+        fsh = repl if frozen_shardings is None else frozen_shardings
+
+        def multi(state: TrainState, frozen, batches):
+            def body(st, batch):
+                return self.train_step(st, frozen, batch)
+
+            state2, ms = jax.lax.scan(body, state, batches, length=num_steps)
+            return state2, jax.tree_util.tree_map(
+                lambda x: jnp.mean(x, axis=0), ms)
+
+        return jax.jit(
+            multi,
+            in_shardings=(repl, fsh, stacked),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,) if self.donate_state else (),
+        )

@@ -36,8 +36,20 @@ class MetricLogger:
             self.path = Path(output_dir) / f"{name}.jsonl"
         self._t0 = time.time()
 
+    @staticmethod
+    def _rank_zero() -> bool:
+        """Multi-host: only process 0 writes (reference RankedLogger /
+        rank_zero_only, src/utils/pylogger.py:33-65)."""
+        try:
+            import jax
+            return jax.process_index() == 0
+        except Exception:
+            return True
+
     def log(self, metrics: Mapping[str, Any], step: int,
             prefix: str = "") -> None:
+        if not self._rank_zero():
+            return
         record = {f"{prefix}{k}": (float(v) if hasattr(v, "__float__") else v)
                   for k, v in metrics.items()}
         record["step"] = step
@@ -89,6 +101,8 @@ class MultiLogger(MetricLogger):
     def log(self, metrics: Mapping[str, Any], step: int,
             prefix: str = "") -> None:
         super().log(metrics, step, prefix)
+        if not self._rank_zero():
+            return
         record = {f"{prefix}{k}": (float(v) if hasattr(v, "__float__") else v)
                   for k, v in metrics.items()}
         record["step"] = step
@@ -112,6 +126,8 @@ class MultiLogger(MetricLogger):
     def log_images(self, tag: str, images, step: int = 0,
                    captions: Optional[list] = None) -> None:
         """images: list of (H, W) or (H, W, 3) float [0,1] / uint8 arrays."""
+        if not self._rank_zero():
+            return
         import numpy as np
         panels = []
         for img in images:

@@ -23,9 +23,13 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-# "1" opts in to the Pallas kernel; measured on v5e at the CLIP shapes
-# (S<=512, d=64) XLA's fused attention is already faster, so default off.
-_USE_FLASH = os.environ.get("TUNEVLSEG_FLASH", "0")
+# "auto" (default) uses the Pallas kernel for self-attention at S >=
+# _FLASH_MIN_SEQ on TPU — in-jit scanned A/B at the vision shape (b64 s485
+# h12 d64 bf16) measures 2.86ms vs 4.63ms for XLA (scripts/micro_attn.py;
+# e2e bench 14.23 -> 15.14 steps/s). "1" forces it everywhere, "0" disables.
+# (An earlier per-launch-synced A/B wrongly concluded the kernel was slower:
+# ~30ms dispatch noise per measurement swamped the ~2ms delta.)
+_USE_FLASH = os.environ.get("TUNEVLSEG_FLASH", "auto")
 _FLASH_MIN_SEQ = 256
 
 

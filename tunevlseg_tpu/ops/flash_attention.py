@@ -9,14 +9,14 @@ Two variants for the framework's short CLIP sequences (485+ctx tokens):
 Backward recomputes attention in XLA (exact same math; it only runs for
 visual-prompt strategies where gradients flow through the frozen tower).
 
-MEASURED RESULT (v5e, CoOp-CLIPSeg b64@352², interleaved A/B): both
-variants are ~10% SLOWER than XLA's fused attention once the XLA path
-stores its scores at bf16 (nn/attention.py) — 95.1 ms/step (xla) vs
-107.9 ms/step (batched-heads kernel). At these shapes the score tensors
-are small enough that XLA's fusion already avoids most HBM traffic, and
-the kernels pay grid/DMA overheads instead. Kept as a correct, tested
-implementation for longer-sequence configs; the default dispatch is the
-XLA path.
+MEASURED RESULT (v5e): the batched-heads kernel is ~1.6x FASTER than the
+XLA fused path at the CLIPSeg vision shape — 2.86 vs 4.63 ms/call, in-jit
+scanned A/B (scripts/micro_attn.py), e2e bench 14.23 -> 15.14 steps/s —
+because the S x S score tensor (361MB/layer at b64 s485 h12 bf16) never
+round-trips HBM. An earlier per-launch-synced A/B concluded the opposite;
+that measurement was an artifact of ~30ms/launch dispatch noise on the
+remote transport. Default dispatch is "auto": this kernel for unbiased
+self-attention with S >= 256 on TPU, XLA otherwise (nn/attention.py).
 """
 from __future__ import annotations
 

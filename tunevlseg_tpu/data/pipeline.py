@@ -91,22 +91,51 @@ class DataLoader:
         out: "queue.Queue[Any]" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            # blocking put that still observes an early consumer exit —
+            # otherwise a limit_batches/debug consumer leaves the producer
+            # wedged on a full queue forever
+            while not stop.is_set():
+                try:
+                    out.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    pass
+            return False
+
         def producer():
+            # lazy submission: keep only a bounded window of batches in
+            # flight so decoded samples never accumulate past
+            # ~(window+prefetch) batches of RAM even when decode outruns
+            # the train step on a many-core host
+            window = self.prefetch + 2
+            from collections import deque
+
             with ThreadPoolExecutor(self.num_workers) as pool:
-                pending = []
-                for b in range(nb):
-                    chunk = order[b * self.batch_size:(b + 1) * self.batch_size]
-                    pending.append(pool.map(self.dataset.__getitem__, chunk))
-                for fut in pending:
-                    if stop.is_set():
-                        return
-                    try:
-                        samples = list(fut)
-                        out.put(collate(samples, self.batch_size))
-                    except Exception as e:  # surface worker errors
-                        out.put(e)
-                        return
-            out.put(None)
+                pending: deque = deque()
+                b_next = 0
+                try:
+                    while pending or b_next < nb:
+                        while b_next < nb and len(pending) < window:
+                            lo = b_next * self.batch_size
+                            chunk = order[lo:lo + self.batch_size]
+                            pending.append([
+                                pool.submit(self.dataset.__getitem__, i)
+                                for i in chunk])
+                            b_next += 1
+                        futs = pending.popleft()
+                        try:
+                            item: Any = collate([f.result() for f in futs],
+                                                self.batch_size)
+                        except Exception as e:  # surface worker errors
+                            item = e
+                        if not put_or_stop(item) or isinstance(item, Exception):
+                            return
+                finally:
+                    for futs in pending:
+                        for f in futs:
+                            f.cancel()
+            put_or_stop(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

@@ -63,6 +63,7 @@ def dot_product_attention(
     """Dispatch between the Pallas flash kernel and the XLA path."""
     use_flash = _USE_FLASH == "1" or (
         _USE_FLASH == "auto"
+        and bias is None  # only the validated batched-heads kernel by default
         and q.shape[1] >= _FLASH_MIN_SEQ
         and q.shape[1] == k.shape[1]
         and jax.default_backend() == "tpu"

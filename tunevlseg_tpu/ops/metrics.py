@@ -71,13 +71,16 @@ def compute(state: SegMetricState, zero_division: float = 0.0) -> dict[str, jnp.
 
 
 def dice_score(probs: jnp.ndarray, targets: jnp.ndarray,
-               threshold: float = 0.5, zero_division: float = 1.0) -> jnp.ndarray:
+               threshold: float = 0.5, zero_division: float = 1.0,
+               valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """One-shot per-batch dice (samples average) — the stepwise log metric."""
     return compute(update_state(SegMetricState.zeros(), probs, targets,
-                                threshold, zero_division))["dice"]
+                                threshold, zero_division,
+                                valid=valid))["dice"]
 
 
 def iou_score(probs: jnp.ndarray, targets: jnp.ndarray,
-              threshold: float = 0.5) -> jnp.ndarray:
+              threshold: float = 0.5,
+              valid: jnp.ndarray | None = None) -> jnp.ndarray:
     return compute(update_state(SegMetricState.zeros(), probs, targets,
-                                threshold))["iou"]
+                                threshold, valid=valid))["iou"]

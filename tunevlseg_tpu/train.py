@@ -297,15 +297,18 @@ def main(argv: Optional[list[str]] = None) -> dict:
 
     result: dict[str, Any] = {}
     if cfg.get("train", True):
+        # reference src/train.py:104 — trainer.fit(ckpt_path=...) mid-run
+        # resume; here a tag ("last"/"best") or a checkpoints directory
+        resume_from = cfg.get("ckpt_path")
         if cfg.get("profile"):
             # reference debug/profiler.yaml -> jax.profiler trace of the fit
             from tunevlseg_tpu.utils.profiling import trace
             with trace(str(trainer.output_dir / "profile")):
                 state = trainer.fit(state, frozen, loaders["train"],
-                                    loaders["val"])
+                                    loaders["val"], resume_from=resume_from)
         else:
             state = trainer.fit(state, frozen, loaders["train"],
-                                loaders["val"])
+                                loaders["val"], resume_from=resume_from)
     if cfg.get("test", True):
         result.update(trainer.test(state, frozen, loaders["test"]))
     if cfg.get("predict", False):

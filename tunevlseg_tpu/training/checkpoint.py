@@ -42,25 +42,36 @@ class CheckpointManager:
     def save(self, tag: str, state: Any, extra: dict) -> None:
         path = (self.dir / tag).resolve()
         payload = {"trainable": state.trainable, "opt_state": state.opt_state,
-                   "step": state.step, "model_state": state.model_state}
+                   "step": state.step, "rng": state.rng,
+                   "model_state": state.model_state}
         if path.exists():
             import shutil
             shutil.rmtree(path)
         self._ckptr.save(path, payload)
         self._ckptr.wait_until_finished()
-        (self.dir / f"{tag}.json").write_text(json.dumps(extra, default=float))
+        # best_value rides every meta so a resumed run never demotes the
+        # historical best on its first validation
+        meta = {"best_value": self.best_value, **extra}
+        (self.dir / f"{tag}.json").write_text(json.dumps(meta, default=float))
 
-    def maybe_save_best(self, state: Any, metrics: dict, epoch: int) -> bool:
+    def maybe_save_best(self, state: Any, metrics: dict, epoch: int,
+                        extra: Optional[dict] = None) -> bool:
         value = float(metrics[self.monitor])
         improved = self._is_better(value)
+        meta = {"epoch": epoch, **(extra or {}),
+                **{k: float(v) for k, v in metrics.items()}}
         if improved:
             self.best_value = value
-            self.save("best", state, {"epoch": epoch, **{
-                k: float(v) for k, v in metrics.items()}})
+            self.save("best", state, meta)
         if self.save_last:
-            self.save("last", state, {"epoch": epoch, **{
-                k: float(v) for k, v in metrics.items()}})
+            self.save("last", state, meta)
         return improved
+
+    def load_meta(self, tag: str) -> dict:
+        path = self.dir / f"{tag}.json"
+        if not path.exists():
+            return {}
+        return json.loads(path.read_text())
 
     def restore(self, tag: str, state_like: Any) -> Any:
         path = (self.dir / tag).resolve()
@@ -68,10 +79,17 @@ class CheckpointManager:
                    "opt_state": state_like.opt_state,
                    "step": state_like.step,
                    "model_state": state_like.model_state}
-        restored = self._ckptr.restore(path, payload)
+        # older checkpoints may predate the rng leaf; fall back to the
+        # rng-less layout if the structure doesn't match
+        try:
+            restored = self._ckptr.restore(
+                path, dict(payload, rng=state_like.rng))
+        except Exception:
+            restored = self._ckptr.restore(path, payload)
         return state_like._replace(trainable=restored["trainable"],
                                    opt_state=restored["opt_state"],
                                    step=restored["step"],
+                                   rng=restored.get("rng", state_like.rng),
                                    model_state=restored.get(
                                        "model_state", state_like.model_state))
 

@@ -160,14 +160,62 @@ class Trainer:
         for batch in pending:
             yield batch
 
+    def _fit_extra(self) -> dict:
+        """Host-side loop state persisted in each checkpoint's meta.json so a
+        resumed fit continues schedulers/early-stopping instead of resetting
+        them (reference: Lightning restores callback state from the ckpt)."""
+        extra: dict[str, Any] = {}
+        if self.scheduler is not None:
+            extra["scheduler"] = {
+                "best": self.scheduler.best,
+                "num_bad_epochs": self.scheduler.num_bad_epochs,
+                "cooldown_counter": self.scheduler.cooldown_counter}
+        if self.early_stopping is not None:
+            extra["early_stopping"] = {"best": self.early_stopping.best,
+                                       "count": self.early_stopping.count}
+        return extra
+
+    def _resolve_resume(self, spec) -> tuple[CheckpointManager, str]:
+        """`spec` is a tag in this run's own checkpoint dir ("last"/"best"),
+        a checkpoints directory (uses "last", falling back to "best"), or a
+        path to one tag directory — the reference's `ckpt_path` surface
+        (src/train.py:104) adapted to orbax's dir-per-tag layout."""
+        if spec in ("last", "best"):
+            return self.ckpt, spec
+        p = Path(spec)
+        if (p / "last").exists() or (p / "best").exists():
+            mgr = CheckpointManager(p, monitor=self.monitor)
+            return mgr, "last" if (p / "last").exists() else "best"
+        if not p.exists():
+            raise FileNotFoundError(f"ckpt_path {spec} does not exist")
+        return CheckpointManager(p.parent, monitor=self.monitor), p.name
+
     def fit(self, state, frozen, train_loader: DataLoader,
-            val_loader: Optional[DataLoader] = None):
+            val_loader: Optional[DataLoader] = None,
+            resume_from: Optional[str] = None):
         frozen = self._place_frozen(frozen)
         state = mesh_lib.replicate(self.mesh, state)
         self.ckpt.save_frozen(frozen)
 
+        start_epoch = 0
+        if resume_from:
+            mgr, tag = self._resolve_resume(resume_from)
+            state = mgr.restore(tag, state)
+            meta = mgr.load_meta(tag)
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            self.ckpt.best_value = meta.get("best_value")
+            if self.scheduler is not None and meta.get("scheduler"):
+                for k, v in meta["scheduler"].items():
+                    setattr(self.scheduler, k, v)
+            if self.early_stopping is not None and meta.get("early_stopping"):
+                self.early_stopping.best = meta["early_stopping"]["best"]
+                self.early_stopping.count = int(
+                    meta["early_stopping"]["count"])
+            log.info(f"resumed from {resume_from} ({tag}) at epoch "
+                     f"{start_epoch}, step {int(state.step)}")
+
         global_step = int(state.step)
-        for epoch in range(self.max_epochs):
+        for epoch in range(start_epoch, self.max_epochs):
             train_loader.set_epoch(epoch)
             for group in self._train_groups(train_loader):
                 if isinstance(group, list):  # fused multi-step chunk
@@ -193,8 +241,10 @@ class Trainer:
                 epoch_metrics.update(
                     self._run_eval(state, frozen, val_loader, "val"))
                 self.metrics_log.log(epoch_metrics, global_step)
-                self.ckpt.maybe_save_best(state, epoch_metrics, epoch)
 
+                # advance schedulers/early-stopping BEFORE checkpointing so
+                # the saved meta + lr reflect the completed epoch (resume
+                # continues exactly where an uninterrupted run would be)
                 val_loss = epoch_metrics["val_loss"]
                 if self.scheduler is not None:
                     lr = get_learning_rate(state.opt_state)
@@ -203,13 +253,17 @@ class Trainer:
                         log.info(f"plateau: lr {lr:.2e} -> {new_lr:.2e}")
                         state = state._replace(opt_state=set_learning_rate(
                             state.opt_state, new_lr))
-                if (self.early_stopping is not None
+                stop = (self.early_stopping is not None
                         and epoch + 1 >= self.min_epochs
-                        and self.early_stopping.should_stop(val_loss)):
+                        and self.early_stopping.should_stop(val_loss))
+                self.ckpt.maybe_save_best(state, epoch_metrics, epoch,
+                                          extra=self._fit_extra())
+                if stop:
                     log.info(f"early stopping at epoch {epoch}")
                     break
             else:
-                self.ckpt.save("last", state, {"epoch": epoch})
+                self.ckpt.save("last", state,
+                               {"epoch": epoch, **self._fit_extra()})
         return state
 
     def test(self, state, frozen, test_loader: DataLoader,

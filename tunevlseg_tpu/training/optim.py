@@ -195,12 +195,13 @@ class ReduceLROnPlateau:
         self.cooldown_counter = 0
 
     def _is_better(self, current: float, best: float) -> bool:
+        # torch rel mode is multiplicative on the SIGNED best — min compares
+        # against best*(1-threshold), max against best*(1+threshold) — which
+        # differs from best -/+ threshold*abs(best) when best < 0
         if self.threshold_mode == "rel":
-            delta = self.threshold * abs(best) if self.mode == "min" else \
-                    self.threshold * abs(best)
             if self.mode == "min":
-                return current < best - delta
-            return current > best + delta
+                return current < best * (1.0 - self.threshold)
+            return current > best * (1.0 + self.threshold)
         if self.mode == "min":
             return current < best - self.threshold
         return current > best + self.threshold

@@ -169,10 +169,15 @@ class SegmentationTask:
         model_state = (new_model_state if self.mutable_collections
                        else state.model_state)
         probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+        # padded samples have zeroed logits -> sigmoid 0.5; exclude them from
+        # the step metrics (the loss already treats them as a constant term)
+        valid = batch.get("valid")
         step_metrics = {
             "loss": loss,
-            "dice": metrics_lib.dice_score(probs, batch["mask"], self.threshold),
-            "iou": metrics_lib.iou_score(probs, batch["mask"], self.threshold),
+            "dice": metrics_lib.dice_score(probs, batch["mask"], self.threshold,
+                                           valid=valid),
+            "iou": metrics_lib.iou_score(probs, batch["mask"], self.threshold,
+                                         valid=valid),
         }
         return TrainState(state.step + 1, trainable, opt_state, state.rng,
                           model_state), step_metrics

@@ -184,6 +184,119 @@ class CLIPTokenizer:
         return {"input_ids": input_ids, "attention_mask": attention_mask}
 
 
+class WordPieceTokenizer:
+    """BERT WordPiece tokenizer (the BiomedCLIP text side).
+
+    Replaces `AutoTokenizer.from_pretrained(microsoft/BiomedNLP-BiomedBERT-
+    base-uncased-abstract)` from the reference's zsseg_biomedclip experiment
+    (configs/experiment/zsseg_biomedclip.yaml:63): basic tokenization
+    (lowercase, accent-strip, punctuation split) + greedy longest-match
+    WordPiece over a standard `vocab.txt`. Emits [CLS] ... [SEP] with 0
+    ([PAD]) padding and an attention mask — the contract
+    `BiomedCLIP.get_text_features` expects (pad_token_id 0)."""
+
+    def __init__(self, vocab_path: Union[str, Path], lowercase: bool = True,
+                 max_input_chars_per_word: int = 100):
+        lines = Path(vocab_path).read_text(encoding="utf-8").split("\n")
+        self.encoder = {tok: i for i, tok in enumerate(lines) if tok}
+        self.decoder = {i: t for t, i in self.encoder.items()}
+        self.lowercase = lowercase
+        self.max_word_chars = max_input_chars_per_word
+        self.pad_token_id = self.encoder.get("[PAD]", 0)
+        self.cls_token_id = self.encoder["[CLS]"]
+        self.sep_token_id = self.encoder["[SEP]"]
+        self.unk_token_id = self.encoder["[UNK]"]
+        self.vocab_size = len(self.encoder)
+
+    @staticmethod
+    def _is_punct(ch: str) -> bool:
+        cp = ord(ch)
+        if (33 <= cp <= 47 or 58 <= cp <= 64 or 91 <= cp <= 96
+                or 123 <= cp <= 126):
+            return True
+        return unicodedata.category(ch).startswith("P")
+
+    def _basic_tokenize(self, text: str) -> list[str]:
+        text = _clean_text(text)
+        if self.lowercase:
+            text = text.lower()
+            # strip accents (BERT uncased behavior)
+            text = "".join(c for c in unicodedata.normalize("NFD", text)
+                           if unicodedata.category(c) != "Mn")
+        words: list[str] = []
+        for tok in text.split():
+            buf = ""
+            for ch in tok:
+                if self._is_punct(ch):
+                    if buf:
+                        words.append(buf)
+                        buf = ""
+                    words.append(ch)
+                else:
+                    buf += ch
+            if buf:
+                words.append(buf)
+        return words
+
+    def _wordpiece(self, word: str) -> list[int]:
+        if len(word) > self.max_word_chars:
+            return [self.unk_token_id]
+        ids: list[int] = []
+        start = 0
+        while start < len(word):
+            end = len(word)
+            cur = None
+            while start < end:
+                piece = word[start:end]
+                if start > 0:
+                    piece = "##" + piece
+                if piece in self.encoder:
+                    cur = self.encoder[piece]
+                    break
+                end -= 1
+            if cur is None:
+                return [self.unk_token_id]
+            ids.append(cur)
+            start = end
+        return ids
+
+    def encode(self, text: str, add_special_tokens: bool = True) -> list[int]:
+        ids = [i for w in self._basic_tokenize(text)
+               for i in self._wordpiece(w)]
+        if add_special_tokens:
+            return [self.cls_token_id, *ids, self.sep_token_id]
+        return ids
+
+    def __call__(
+        self,
+        texts: Union[str, Sequence[str]],
+        max_length: int = 256,
+        padding: str = "max_length",
+        style: str = "bert",
+    ) -> dict[str, np.ndarray]:
+        """Same batch contract as CLIPTokenizer.__call__; `style` is accepted
+        for interchangeability and ignored (BERT always pads with [PAD] and
+        keeps [SEP] in the final slot on truncation)."""
+        if isinstance(texts, str):
+            texts = [texts]
+        n = len(texts)
+        if padding == "max_length":
+            width = max_length
+        else:
+            width = min(max_length,
+                        max(len(self.encode(t)) for t in texts))
+        input_ids = np.full((n, width), self.pad_token_id, np.int32)
+        attention_mask = np.zeros((n, width), np.int32)
+        for i, t in enumerate(texts):
+            ids = self.encode(t)
+            if len(ids) > width:
+                ids = ids[:width]
+                ids[-1] = self.sep_token_id
+            input_ids[i, :len(ids)] = ids
+            attention_mask[i, :len(ids)] = 1
+        return {"input_ids": input_ids, "attention_mask": attention_mask}
+
+
 DEFAULT_VOCAB_CANDIDATES = (
     Path(__file__).resolve().parents[2] / "assets" / "bpe_simple_vocab_16e6.txt.gz",
     Path("/root/reference/src/models/components/denseclip/bpe_simple_vocab_16e6.txt.gz"),

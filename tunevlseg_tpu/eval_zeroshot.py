@@ -34,6 +34,39 @@ from tunevlseg_tpu.utils.logging import MetricLogger, get_logger
 log = get_logger(__name__)
 
 
+def _build_biomed_clip(cfg: dict):
+    """The `is_hf_model=false` branch: BiomedCLIP (open_clip CustomTextCLIP)
+    instead of HF CLIP — reference zero_shot_ris/__init__.py:62-64 +
+    configs/experiment/zsseg_biomedclip.yaml."""
+    import jax
+    import jax.numpy as jnp
+
+    from tunevlseg_tpu.models.zero_shot_ris.biomed_clip import (BiomedCLIP,
+                                                                BiomedCLIPConfig)
+
+    m = cfg["model"]
+    clip_cfg = (BiomedCLIPConfig.tiny() if cfg.get("tiny_model")
+                else BiomedCLIPConfig())
+    model = BiomedCLIP(clip_cfg)
+    if m.get("clip_checkpoint"):
+        from tunevlseg_tpu.convert.biomed_clip import load_biomedclip_checkpoint
+        params = load_biomedclip_checkpoint(m["clip_checkpoint"], clip_cfg)
+    else:
+        rng = jax.random.PRNGKey(cfg.get("seed", 0))
+        size = m.get("clip_image_size",
+                     clip_cfg.vision.image_size)
+        params = model.init(rng, jnp.ones((1, 3, size, size)),
+                            method=model.get_image_features)["params"]
+        text_params = model.init(
+            rng, jnp.ones((2, 8), jnp.int32),
+            method=model.get_text_features)["params"]
+        from tunevlseg_tpu.config.composer import deep_merge
+        params = deep_merge(dict(text_params), params)
+        log.warning("no clip_checkpoint given: using RANDOM BiomedCLIP "
+                    "weights")
+    return model, clip_cfg, params
+
+
 def build_ris(cfg: dict) -> ZeroShotRIS:
     import jax
 
@@ -59,17 +92,20 @@ def build_ris(cfg: dict) -> ZeroShotRIS:
     from tunevlseg_tpu.models.zero_shot_ris.model import MaskedCLIP
     from tunevlseg_tpu.models.solov2.model import SOLOv2
 
-    clip_model = MaskedCLIP(clip_cfg)
     solo_model = SOLOv2(solo_cfg)
     size = m.get("clip_image_size",
                  32 if cfg.get("tiny_model") else 224)
 
-    if m.get("clip_checkpoint"):
+    custom_clip = None
+    if not m.get("is_hf_model", True):
+        custom_clip, clip_cfg, clip_params = _build_biomed_clip(cfg)
+    elif m.get("clip_checkpoint"):
         from tunevlseg_tpu.convert.clipseg import load_checkpoint_params
         # CLIPModel-format checkpoints share the tower layout
         clip_params = load_checkpoint_params(m["clip_checkpoint"], clip_cfg)
     else:
         import jax.numpy as jnp
+        clip_model = MaskedCLIP(clip_cfg)
         rng = jax.random.PRNGKey(cfg.get("seed", 0))
         clip_params = clip_model.init(
             rng, jnp.ones((1, 3, size, size)),
@@ -97,14 +133,24 @@ def build_ris(cfg: dict) -> ZeroShotRIS:
         num_masks=m.get("num_masks", 1), clip_image_size=size,
         cache_dir=m.get("cache_dir"),
         read_cache=m.get("read_cache", False),
-        write_cache=m.get("write_cache", False))
+        write_cache=m.get("write_cache", False),
+        clip_model=custom_clip)
 
 
 def main(argv: Optional[list[str]] = None) -> dict:
     overrides = argv if argv is not None else sys.argv[1:]
     cfg = compose(CONFIG_DIR, "eval_zeroshot", overrides)
 
-    tokenizer = load_default_tokenizer(cfg.get("vocab_path"))
+    if cfg["model"].get("is_hf_model", True):
+        tokenizer = load_default_tokenizer(cfg.get("vocab_path"))
+    else:
+        # BiomedCLIP pairs with the BiomedBERT WordPiece tokenizer
+        # (reference zsseg_biomedclip.yaml:63 tokenizer_pretrained_path)
+        from tunevlseg_tpu.data.tokenizer import WordPieceTokenizer
+        if not cfg.get("vocab_path"):
+            raise ValueError("is_hf_model=false needs vocab_path pointing "
+                             "at a BERT vocab.txt")
+        tokenizer = WordPieceTokenizer(cfg["vocab_path"])
     d = cfg["data"]
     # the reference's zsseg pipeline CLIP-normalizes the single image tensor
     # that feeds BOTH FreeSOLO and CLIP (experiment/zsseg_clip.yaml:65-80 —

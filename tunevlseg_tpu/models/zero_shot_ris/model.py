@@ -112,9 +112,15 @@ class ZeroShotRIS:
     cache_dir: Optional[Path] = None
     read_cache: bool = False
     write_cache: bool = False
+    # alternative CLIP variant (e.g. BiomedCLIP — the reference's
+    # `is_hf_model=false` open_clip branch, zero_shot_ris/__init__.py:62-64);
+    # must expose get_text_features/get_image_features like MaskedCLIP and
+    # a config with `.vision.patch_size`
+    clip_model: Optional[Any] = None
 
     def __post_init__(self):
-        self.clip = MaskedCLIP(self.clip_config)
+        self.clip = (self.clip_model if self.clip_model is not None
+                     else MaskedCLIP(self.clip_config))
         self.solo = SOLOv2(self.solo_config)
         if self.cache_dir is not None:
             self.cache_dir = Path(self.cache_dir)

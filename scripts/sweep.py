@@ -7,8 +7,13 @@ sampler (tunevlseg_tpu/utils/tpe.py) over the same spaces (log-uniform
 lr/weight_decay, integer prompt_depth) — or pure random search with
 --sampler random — running `tunevlseg_tpu.train` per trial.
 
+Search spaces come from the `configs/hparams_search/` group (one file per
+strategy, mirroring the reference's 7 *_optuna.yaml files) via `--space`;
+without it the builtin CoOp space is used. CLI flags override the file's
+metric/mode/trials/seed.
+
 Usage:
-    python scripts/sweep.py --trials 20 --metric test_loss --mode min \
+    python scripts/sweep.py --space coop --trials 20 \
         -- experiment=coop/clipseg ds_name=kvasir_polyp ...
 """
 from __future__ import annotations
@@ -20,20 +25,42 @@ from pathlib import Path
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--trials", type=int, default=20)
-    ap.add_argument("--metric", default="test_loss")
-    ap.add_argument("--mode", choices=("min", "max"), default="min")
-    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--space", default=None,
+                    help="hparams_search config name (e.g. coop, shared_attn)"
+                         " or a path to a yaml file")
+    ap.add_argument("--trials", type=int, default=None)
+    ap.add_argument("--metric", default=None)
+    ap.add_argument("--mode", choices=("min", "max"), default=None)
+    ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--sampler", choices=("tpe", "random"), default="tpe")
     ap.add_argument("--results", type=Path, default=Path("sweep_results.json"))
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
 
-    from tunevlseg_tpu.train import main as train_main
-    from tunevlseg_tpu.utils.tpe import REFERENCE_SPACES, TPESampler
+    from tunevlseg_tpu.train import CONFIG_DIR, main as train_main
+    from tunevlseg_tpu.utils.tpe import (REFERENCE_SPACES, TPESampler,
+                                         load_search_config)
 
-    sampler = TPESampler(REFERENCE_SPACES, seed=args.seed, mode=args.mode,
-                         n_startup=0 if args.sampler == "random" else 8)
+    if args.space:
+        path = Path(args.space)
+        if not path.exists():
+            path = CONFIG_DIR / "hparams_search" / f"{args.space}.yaml"
+        sc = load_search_config(path)
+    else:
+        sc = {"metric": "test_loss", "mode": "min", "n_trials": 20,
+              "seed": 0, "n_startup": 8, "spaces": REFERENCE_SPACES}
+    if args.metric is None:
+        args.metric = sc["metric"]
+    if args.mode is None:
+        args.mode = sc["mode"]
+    if args.trials is None:
+        args.trials = sc["n_trials"]
+    if args.seed is None:
+        args.seed = sc["seed"]
+
+    sampler = TPESampler(sc["spaces"], seed=args.seed, mode=args.mode,
+                         n_startup=0 if args.sampler == "random"
+                         else sc["n_startup"])
     if args.sampler == "random":
         sampler.n_startup = 10 ** 9  # never leave the random phase
 

@@ -314,3 +314,100 @@ def test_train_steps_per_execution(synth_root, tmp_path):
         "exp_name=spe_smoke",
     ])
     assert "test_dice" in result and 0 <= result["test_dice"] <= 1
+
+
+def test_e2e_clipseg_experiment(synth_root, tmp_path):
+    """experiment=e2e_clipseg: full fine-tune overlay (freeze_all=false,
+    stock decoder) through the train cycle — reference e2e_clipseg.yaml."""
+    from tunevlseg_tpu import train as train_mod
+
+    cfg = compose(CONFIG_DIR, "train",
+                  ["experiment=e2e_clipseg", "ds_name=x"])
+    assert cfg["model"]["strategy"] == "e2e"
+    assert cfg["model"]["freeze_all"] is False
+    assert cfg["model"]["weight_decay"] == 0.001
+    assert cfg["model"]["optimizer"]["lr"] == 2e-4
+
+    result = train_mod.main([
+        "experiment=e2e_clipseg",
+        "ds_name=kvasir_polyp",
+        f"paths.data_root={synth_root}",
+        f"paths.log_dir={tmp_path / 'logs'}",
+        f"vocab_path={VOCAB}",
+        "img_size=32", "+tiny_model=true",
+        "data.batch_size=4", "data.num_workers=2",
+        "trainer=debug", "trainer.max_epochs=1", "trainer.n_devices=2",
+        "trainer.precision=f32", "predict=false", "exp_name=e2e_smoke",
+    ])
+    assert "test_dice" in result and 0 <= result["test_dice"] <= 1
+
+
+def test_e2e_cris_experiment(synth_root, tmp_path):
+    """experiment=e2e_cris: CRIS full fine-tune overlay (CLIP pixel stats,
+    lr 5e-5, decoder dropout 0.2) — reference e2e_cris.yaml."""
+    from tunevlseg_tpu import train as train_mod
+
+    cfg = compose(CONFIG_DIR, "train", ["experiment=e2e_cris", "ds_name=x"])
+    assert cfg["model"]["strategy"] == "e2e"
+    assert cfg["model"]["optimizer"]["lr"] == 5e-5
+    assert cfg["model"]["dropout"] == 0.2
+    assert cfg["img_mean"][0] == pytest.approx(0.48145466)
+
+    result = train_mod.main([
+        "experiment=e2e_cris",
+        "ds_name=kvasir_polyp",
+        f"paths.data_root={synth_root}",
+        f"paths.log_dir={tmp_path / 'logs'}",
+        f"vocab_path={VOCAB}",
+        "img_size=64", "+tiny_model=true",
+        "data.batch_size=4", "data.num_workers=2",
+        "trainer=debug", "trainer.max_epochs=1", "trainer.n_devices=2",
+        "trainer.precision=f32", "predict=false", "exp_name=e2e_cris_smoke",
+    ])
+    assert "test_dice" in result and 0 <= result["test_dice"] <= 1
+
+
+@pytest.fixture()
+def phrasecut_root(tmp_path):
+    root = tmp_path / "data" / "phrasecut"
+    (root / "images").mkdir(parents=True)
+    (root / "masks").mkdir()
+    (root / "anns").mkdir()
+    tasks = []
+    rng = np.random.default_rng(0)
+    for img_id, phrase in ((10, "red car"), (11, "green tree"),
+                           (12, "blue door"), (13, "tall tower")):
+        cv2.imwrite(str(root / "images" / f"{img_id}.jpg"),
+                    rng.integers(0, 255, (24, 24, 3), dtype=np.uint8))
+        tid = f"{img_id}__0"
+        cv2.imwrite(str(root / "masks" / f"{tid}-{phrase}.png"),
+                    np.full((24, 24), 255, np.uint8))
+        tasks.append({"task_id": tid, "phrase": phrase})
+    for split in ("train", "val", "test"):
+        (root / "anns" / f"refer_{split}.json").write_text(json.dumps(tasks))
+    return root.parent
+
+
+def test_phrasecut_experiment(phrasecut_root, tmp_path):
+    """experiment=phrasecut: SigLIP TransformerSegmentor with output_bias
+    init and weighted BCE — reference phrasecut.yaml (incl. line 45)."""
+    from tunevlseg_tpu import train as train_mod
+
+    cfg = compose(CONFIG_DIR, "train", ["experiment=phrasecut"])
+    assert cfg["model"]["encoder_family"] == "siglip"
+    assert cfg["model"]["output_bias"] == pytest.approx(-1.748104048321891)
+    assert cfg["model"]["loss_fn"]["weight"] == 5.8
+    assert cfg["data"]["type"] == "phrasecut"
+    assert cfg["img_size"] == 384
+
+    result = train_mod.main([
+        "experiment=phrasecut",
+        f"paths.data_root={phrasecut_root}",
+        f"paths.log_dir={tmp_path / 'logs'}",
+        f"vocab_path={VOCAB}",
+        "img_size=32", "+tiny_model=true",
+        "data.batch_size=4", "data.num_workers=2",
+        "trainer=debug", "trainer.max_epochs=1", "trainer.n_devices=2",
+        "trainer.precision=f32", "predict=false", "exp_name=pc_smoke",
+    ])
+    assert "test_dice" in result and 0 <= result["test_dice"] <= 1

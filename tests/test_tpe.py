@@ -50,3 +50,55 @@ def test_int_dim_stays_integral():
         p = tpe.ask()
         assert p["d"] == int(p["d"]) and 1 <= p["d"] <= 10
         tpe.tell(p, (p["d"] - 4) ** 2)
+
+
+def test_parse_space_grammar():
+    from tunevlseg_tpu.utils.tpe import parse_space
+
+    s = parse_space("tag(log, interval(1e-5, 5e-3))")
+    assert s.kind == "log" and s.low == 1e-5 and s.high == 5e-3
+    s = parse_space("range(1, 11)")
+    assert s.kind == "int" and (s.low, s.high, s.step) == (1, 10, 1)
+    s = parse_space("range(32, 97, 32)")
+    assert sorted({s.from_unit(u / 10) for u in range(11)}) == [32, 64, 96]
+    s = parse_space("choice(16, 20, 32)")
+    assert s.options == (16, 20, 32)
+    assert s.to_unit(20) == 0.5 and s.from_unit(0.6) == 20
+    s = parse_space("choice(true, false)")
+    assert s.options == (True, False)
+    s = parse_space("choice([32], [64])")
+    assert s.options == ([32], [64])
+    import pytest
+    with pytest.raises(ValueError):
+        parse_space("weird(1, 2)")
+
+
+def test_hparams_search_config_group():
+    """Every configs/hparams_search/*.yaml loads and the per-strategy spaces
+    differ where the reference's do (shared_attn adds projector knobs,
+    cocoop/maple add meta-net width + LoRA toggle)."""
+    from pathlib import Path
+
+    from tunevlseg_tpu.train import CONFIG_DIR
+    from tunevlseg_tpu.utils.tpe import TPESampler, load_search_config
+
+    group = Path(CONFIG_DIR) / "hparams_search"
+    configs = {p.stem: load_search_config(p) for p in group.glob("*.yaml")}
+    assert {"coop", "cocoop", "vpt", "maple", "shared_attn",
+            "shared_separate", "tiny"} <= set(configs)
+
+    base_keys = set(configs["coop"]["spaces"])
+    assert base_keys == {"model.optimizer.lr", "model.weight_decay",
+                         "model.prompt_depth"}
+    assert "model.learner.proj_num_heads" in configs["shared_attn"]["spaces"]
+    assert "model.learner.use_lora_proj" in configs["cocoop"]["spaces"]
+    assert "model.learner.context_dim" in configs["shared_separate"]["spaces"]
+    assert configs["vpt"]["seed"] != configs["coop"]["seed"]  # ref seeds
+
+    # every space is sampleable + round-trips through the TPE machinery
+    for name, sc in configs.items():
+        sampler = TPESampler(sc["spaces"], seed=1, n_startup=2)
+        for i in range(4):
+            params = sampler.ask()
+            assert set(params) == set(sc["spaces"]), name
+            sampler.tell(params, float(i))

@@ -213,6 +213,7 @@ class Composer:
         cfg: dict = {}
         self_merged = False
         global_overlays: list[dict] = []
+        used_groups: set[str] = set()
 
         def include(group_path: str):
             """String defaults entry: include another config file, merging
@@ -256,7 +257,11 @@ class Composer:
             group = key.strip("/")
             if option is None:
                 return
-            option = selections.pop(group, option)
+            # CLI group selections win over both defaults AND experiment
+            # overrides (Hydra priority); consult without popping so a later
+            # `override /group` entry still sees the CLI choice
+            option = selections.get(group, option)
+            used_groups.add(group)
             path = self._group_file(group, option)
             if not path.exists():
                 if optional:
@@ -264,6 +269,10 @@ class Composer:
                 raise FileNotFoundError(path)
             data, is_global = _load_yaml(path)
             sub_defaults = data.pop("defaults", [])
+            if is_override and not is_global:
+                # Hydra: an override REPLACES the earlier group selection
+                # (the option file's own defaults re-include any base)
+                cfg[group.split("/")[0]] = {}
             for sub in sub_defaults:
                 if sub == "_self_":
                     continue
@@ -271,24 +280,20 @@ class Composer:
             if is_global:
                 global_overlays.append(data)
             else:
-                deep_merge(cfg, {group.split("/")[0]: data}
-                           if "/" not in group else {group.split("/")[0]: data})
+                deep_merge(cfg, {group.split("/")[0]: data})
 
         for entry in defaults:
             handle_entry(entry)
         if not self_merged:
             deep_merge(cfg, root_data)
+        # group selections with no matching defaults entry (e.g.
+        # `experiment=...`): processed with full defaults handling, so
+        # `override /model: x` inside an experiment overlay takes effect
+        for group, option in list(selections.items()):
+            if group not in used_groups:
+                handle_entry({group: option})
         for overlay in global_overlays:
             deep_merge(cfg, overlay)
-
-        # any remaining group selections (no matching defaults entry)
-        for group, option in selections.items():
-            data, is_global = _load_yaml(self._group_file(group, option))
-            data.pop("defaults", None)
-            if is_global:
-                deep_merge(cfg, data)
-            else:
-                deep_merge(cfg, {group: data})
 
         for op, key, val in value_overrides:
             if op == "del":

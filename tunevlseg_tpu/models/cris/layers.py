@@ -79,10 +79,14 @@ class FPN(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feats, state: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, feats, state: jnp.ndarray,
+                 use_running_average: Optional[bool] = None) -> jnp.ndarray:
         v3, v4, v5 = feats
         ci, co = self.in_channels, self.out_channels
-        ura = self.use_running_average
+        # call-time override: e2e models train BN (bn_train) but must eval
+        # with running stats (torch module.eval() semantics)
+        ura = (self.use_running_average if use_running_average is None
+               else use_running_average)
         conv = functools.partial(ConvBnRelu, use_running_average=ura,
                                  dtype=self.dtype)
 
@@ -241,8 +245,10 @@ class Projector(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, word: jnp.ndarray) -> jnp.ndarray:
-        ura = self.use_running_average
+    def __call__(self, x: jnp.ndarray, word: jnp.ndarray,
+                 use_running_average: Optional[bool] = None) -> jnp.ndarray:
+        ura = (self.use_running_average if use_running_average is None
+               else use_running_average)
         conv = functools.partial(ConvBnRelu, use_running_average=ura,
                                  dtype=self.dtype)
         x = upsample_scale(x, 2, "bilinear")

@@ -212,9 +212,13 @@ class CRISForSegmentation(nn.Module):
             input_ids, pad_mask=pad_mask, text_ctx=text_ctx,
             prompt_depth=prompt_depth, max_length=c.context_length)
 
-        fq = self.neck(vis, state)
+        # bn_train models use batch stats while TRAINING but running stats in
+        # eval (torch train()/eval() semantics); frozen-backbone runs always
+        # use running stats
+        bn_ura = (not self.bn_train) or deterministic
+        fq = self.neck(vis, state, use_running_average=bn_ura)
         fq = self.decoder(fq, tokens, pad_mask, deterministic=deterministic)
-        pred = self.proj(fq, state)
+        pred = self.proj(fq, state, use_running_average=bn_ura)
         logits = resize_2d(pred, (c.img_size, c.img_size), "bicubic",
                            align_corners=True)
 

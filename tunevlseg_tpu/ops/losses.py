@@ -20,12 +20,21 @@ import jax.numpy as jnp
 
 
 def binary_cross_entropy_with_logits(logits: jnp.ndarray,
-                                     targets: jnp.ndarray) -> jnp.ndarray:
-    """Numerically stable mean BCE-with-logits (torch semantics)."""
+                                     targets: jnp.ndarray,
+                                     pos_weight=None) -> jnp.ndarray:
+    """Numerically stable mean BCE-with-logits (torch semantics).
+
+    `pos_weight` multiplies the positive-target term — torch
+    BCEWithLogitsLoss(pos_weight=...), which MONAI DiceCELoss feeds its
+    `weight` into for the single-channel binary case (the reference's
+    phrasecut experiment uses weight 5.8, phrasecut.yaml:50-52)."""
     x = logits.astype(jnp.float32)
     z = targets.astype(jnp.float32)
-    # max(x,0) - x*z + log(1 + exp(-|x|))
-    loss = jnp.maximum(x, 0) - x * z + jnp.log1p(jnp.exp(-jnp.abs(x)))
+    # log(sigmoid(x)) = -softplus(-x); log(1-sigmoid(x)) = -softplus(x)
+    log_p = -jax.nn.softplus(-x)
+    log_not_p = -jax.nn.softplus(x)
+    w = 1.0 if pos_weight is None else pos_weight
+    loss = -(w * z * log_p + (1.0 - z) * log_not_p)
     return jnp.mean(loss)
 
 
@@ -72,12 +81,14 @@ def dice_ce_loss(
     squared_pred: bool = False,
     jaccard: bool = False,
     batch: bool = False,
+    weight=None,
 ) -> jnp.ndarray:
-    """`monai.losses.DiceCELoss` for the binary single-channel case."""
+    """`monai.losses.DiceCELoss` for the binary single-channel case
+    (`weight` -> BCE pos_weight, MONAI's binary-CE plumbing)."""
     d = dice_loss(logits, targets, sigmoid=sigmoid, squared_pred=squared_pred,
                   jaccard=jaccard, smooth_nr=smooth_nr, smooth_dr=smooth_dr,
                   batch=batch)
-    ce = binary_cross_entropy_with_logits(logits, targets)
+    ce = binary_cross_entropy_with_logits(logits, targets, pos_weight=weight)
     return lambda_dice * d + lambda_ce * ce
 
 

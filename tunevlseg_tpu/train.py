@@ -42,20 +42,39 @@ def build_datasets(cfg: dict, tokenizer) -> dict[str, Any]:
     img = cfg["img_size"]
     mean, std = cfg["img_mean"], cfg["img_std"]
     nod = d.get("normalize_on_device", True)
-    base = dict(image_dir=d["image_dir"], mask_dir=d["mask_dir"],
-                insert_stop_at_last=cfg.get("insert_stop_at_last", True),
+    base = dict(insert_stop_at_last=cfg.get("insert_stop_at_last", True),
                 tokenizer=tokenizer, max_length=cfg.get("max_length", 77),
                 tokenizer_style=d.get("tokenizer_style", "hf"),
                 seed=cfg.get("seed", 0))
+
+    def dirs(split):
+        """Per-split directory overrides (`<split>_image_dir`) — the camus
+        preset points train/val at images/train and test at images/test
+        (reference configs/data/image_text_mask_camus.yaml)."""
+        return dict(image_dir=d.get(f"{split}_image_dir", d["image_dir"]),
+                    mask_dir=d.get(f"{split}_mask_dir", d["mask_dir"]))
+
     ds_type = d.get("type", "image_text_mask")
 
     if ds_type == "image_dir":
-        # binarized class-directory suites (eval-only; class name = prompt)
+        # binarized class-directory suites (class name = prompt); the
+        # jpg/png presets train on images/training and validate/test on
+        # images/validation (reference image_dir_text_mask_{jpg,png}.yaml)
         from tunevlseg_tpu.data.datasets import ImageDirTextMaskDataset
-        ds = ImageDirTextMaskDataset(
-            mask_suffix=d.get("mask_suffix", ".png"),
-            image_suffix=d.get("image_suffix", ".png"),
-            transforms=eval_transforms(img, mean, std, nod), **base)
+
+        def make(split, tf):
+            return ImageDirTextMaskDataset(
+                mask_suffix=d.get("mask_suffix", ".png"),
+                image_suffix=d.get("image_suffix", ".png"),
+                transforms=tf, **dirs(split), **base)
+
+        eval_tf = eval_transforms(img, mean, std, nod)
+        if "train_image_dir" in d:
+            return {"train": make("train",
+                                  train_transforms(img, mean, std, nod)),
+                    "val": make("val", eval_tf),
+                    "test": make("test", eval_tf)}
+        ds = make("test", eval_tf)
         return {"train": ds, "val": ds, "test": ds}
     if ds_type in ("phrasecut", "refcoco"):
         from tunevlseg_tpu.data.open_domain import (PhraseCutDataset,
@@ -63,16 +82,19 @@ def build_datasets(cfg: dict, tokenizer) -> dict[str, Any]:
         cls = PhraseCutDataset if ds_type == "phrasecut" else RefCOCODataset
         od = dict(base, prompt_method=d.get("prompt_method", "fixed"),
                   neg_prob=d.get("neg_prob", 0.0))
+        # template prompts end in "." already; insert_stop is a closed-set
+        # ImageTextMaskDataset knob (reference open-domain sets never use it)
+        od.pop("insert_stop_at_last", None)
         return {
             "train": cls(task_path=d["train_task_path"],
                          transforms=train_transforms(img, mean, std, nod),
-                         **od),
+                         **dirs("train"), **od),
             "val": cls(task_path=d["val_task_path"],
                        transforms=eval_transforms(img, mean, std, nod),
-                       **dict(od, neg_prob=0.0)),
+                       **dirs("val"), **dict(od, neg_prob=0.0)),
             "test": cls(task_path=d["test_task_path"],
                         transforms=eval_transforms(img, mean, std, nod),
-                        **dict(od, neg_prob=0.0)),
+                        **dirs("test"), **dict(od, neg_prob=0.0)),
         }
 
     common = dict(base, prompt_index=cfg["prompt_index"],
@@ -80,13 +102,16 @@ def build_datasets(cfg: dict, tokenizer) -> dict[str, Any]:
     return {
         "train": ImageTextMaskDataset(
             task_path=d["train_task_path"],
-            transforms=train_transforms(img, mean, std, nod), **common),
+            transforms=train_transforms(img, mean, std, nod),
+            **dirs("train"), **common),
         "val": ImageTextMaskDataset(
             task_path=d["val_task_path"],
-            transforms=eval_transforms(img, mean, std, nod), **common),
+            transforms=eval_transforms(img, mean, std, nod),
+            **dirs("val"), **common),
         "test": ImageTextMaskDataset(
             task_path=d["test_task_path"],
-            transforms=eval_transforms(img, mean, std, nod), **common),
+            transforms=eval_transforms(img, mean, std, nod),
+            **dirs("test"), **common),
     }
 
 
@@ -143,6 +168,8 @@ def build_model_and_task(cfg: dict, tokenizer=None, pretrained=None):
         if cfg.get("tiny_model"):
             from tunevlseg_tpu.models.cris.model import CRISConfig
             config = CRISConfig.tiny(img_size=cfg.get("img_size", 64))
+        if "dropout" in m:  # decoder dropout (reference e2e_cris.yaml:32)
+            config = dataclasses.replace(config, dropout=m["dropout"])
         common.pop("learner_overrides")
         model, spec = build_cris(config=config,
                                  learner_overrides=m.get("learner"), **common)
@@ -256,13 +283,22 @@ def main(argv: Optional[list[str]] = None) -> dict:
                  if loaded else None)
 
     t = cfg["trainer"]
+    if t.get("multihost"):
+        # DCN entry: must run before mesh/backend use (SURVEY §2.10)
+        mesh_lib.initialize_distributed(t)
+    pc, pi = jax.process_count(), jax.process_index()
     mesh = mesh_lib.make_mesh(t.get("n_devices"),
                               t.get("model_parallel", 1))
     d = cfg["data"]
+    if d["batch_size"] % pc:
+        raise ValueError(f"global batch_size {d['batch_size']} must divide "
+                         f"by process_count {pc}")
     loaders = {
-        split: DataLoader(ds, d["batch_size"], shuffle=(split == "train"),
+        split: DataLoader(ds, d["batch_size"] // pc,
+                          shuffle=(split == "train"),
                           seed=seed, num_workers=d.get("num_workers", 8),
-                          drop_last=d.get("drop_last", False))
+                          drop_last=d.get("drop_last", False),
+                          num_shards=pc, shard_index=pi)
         for split, ds in datasets.items()
     }
 
@@ -292,8 +328,20 @@ def main(argv: Optional[list[str]] = None) -> dict:
         limit_batches=t.get("limit_batches"),
         loggers=tuple(t.get("loggers", ("jsonl", "csv"))),
         log_image_num=t.get("log_image_num", 4),
-        steps_per_execution=t.get("steps_per_execution", 1))
+        steps_per_execution=t.get("steps_per_execution", 1),
+        exp_name=cfg.get("exp_name"), project=t.get("project"),
+        tags=tuple(cfg.get("tags") or ()))
     save_composed_config(cfg, trainer.output_dir)
+    from tunevlseg_tpu.training.optim import count_params
+    n_train = count_params(state.trainable)
+    n_frozen = count_params(frozen)
+    trainer.metrics_log.log_hyperparams(cfg, {
+        # reference log_hyperparameters: model/params/{total,trainable,
+        # non_trainable} (src/utils/logging_utils.py:40-47)
+        "model/params/total": n_train + n_frozen,
+        "model/params/trainable": n_train,
+        "model/params/non_trainable": n_frozen,
+    })
 
     result: dict[str, Any] = {}
     if cfg.get("train", True):
@@ -312,9 +360,13 @@ def main(argv: Optional[list[str]] = None) -> dict:
     if cfg.get("test", True):
         result.update(trainer.test(state, frozen, loaders["test"]))
     if cfg.get("predict", False):
-        out_dir = Path(cfg["paths"]["output_dir"]) / "output_masks"
-        trainer.predict(state, frozen, loaders["test"], save_dir=out_dir)
-        result["output_masks_dir"] = str(out_dir)
+        if pc > 1:
+            log.warning("predict skipped on multi-host runs (prediction "
+                        "outputs are host-sharded)")
+        else:
+            out_dir = Path(cfg["paths"]["output_dir"]) / "output_masks"
+            trainer.predict(state, frozen, loaders["test"], save_dir=out_dir)
+            result["output_masks_dir"] = str(out_dir)
     log.info(f"done: {result}")
     return result
 

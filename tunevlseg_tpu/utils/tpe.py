@@ -12,37 +12,53 @@ from __future__ import annotations
 import dataclasses
 import math
 import random
+import re
 from typing import Optional, Sequence
 
 
 @dataclasses.dataclass(frozen=True)
 class Space:
-    kind: str          # "log" | "uniform" | "int"
-    low: float
-    high: float
+    kind: str          # "log" | "uniform" | "int" | "choice"
+    low: float = 0.0
+    high: float = 1.0
+    step: int = 1                       # "int" grid step (Optuna range())
+    options: tuple = ()                 # "choice" values (any YAML literal)
 
-    def sample(self, rng: random.Random) -> float:
+    def sample(self, rng: random.Random):
+        if self.kind == "choice":
+            return self.options[rng.randrange(len(self.options))]
         if self.kind == "log":
             return math.exp(rng.uniform(math.log(self.low),
                                         math.log(self.high)))
         if self.kind == "int":
-            return rng.randint(int(self.low), int(self.high))
+            n = (int(self.high) - int(self.low)) // self.step
+            return int(self.low) + self.step * rng.randint(0, n)
         return rng.uniform(self.low, self.high)
 
-    def to_unit(self, x: float) -> float:
+    def to_unit(self, x) -> float:
+        if self.kind == "choice":
+            # categorical -> index position on the unit interval (TPE treats
+            # it as ordinal, same simplification as Optuna's default KDE)
+            i = self.options.index(x)
+            return i / max(len(self.options) - 1, 1)
         if self.kind == "log":
             return (math.log(x) - math.log(self.low)) / \
                 (math.log(self.high) - math.log(self.low))
         return (x - self.low) / (self.high - self.low)
 
-    def from_unit(self, u: float) -> float:
+    def from_unit(self, u: float):
         u = min(max(u, 0.0), 1.0)
+        if self.kind == "choice":
+            return self.options[round(u * (len(self.options) - 1))]
         if self.kind == "log":
             x = math.exp(math.log(self.low)
                          + u * (math.log(self.high) - math.log(self.low)))
             return x
         x = self.low + u * (self.high - self.low)
-        return round(x) if self.kind == "int" else x
+        if self.kind == "int":
+            g = round((x - self.low) / self.step)
+            return int(self.low) + self.step * g
+        return x
 
 
 class TPESampler:
@@ -105,3 +121,71 @@ REFERENCE_SPACES = {
     "model.weight_decay": Space("log", 1e-5, 1e-2),
     "model.prompt_depth": Space("int", 1, 10),
 }
+
+
+def parse_space(expr: str) -> Space:
+    """Parse the Optuna/Hydra sweep grammar used by the reference's
+    hparams_search configs (coop_optuna.yaml:52-57):
+
+        tag(log, interval(a, b))   log-uniform float
+        interval(a, b)             uniform float
+        range(a, b[, step])        integer grid [a, b) with step
+        choice(v1, v2, ...)        categorical (values parsed as YAML)
+    """
+    import yaml
+
+    s = expr.strip()
+
+    def args_of(inner: str) -> list[str]:
+        out, depth, cur = [], 0, ""
+        for ch in inner:
+            if ch == "," and depth == 0:
+                out.append(cur)
+                cur = ""
+                continue
+            depth += ch in "([{"
+            depth -= ch in ")]}"
+            cur += ch
+        if cur.strip():
+            out.append(cur)
+        return [a.strip() for a in out]
+
+    m = re.fullmatch(r"tag\(\s*log\s*,\s*interval\((.*)\)\s*\)", s)
+    if m:
+        lo, hi = (float(a) for a in args_of(m.group(1)))
+        return Space("log", lo, hi)
+    m = re.fullmatch(r"interval\((.*)\)", s)
+    if m:
+        lo, hi = (float(a) for a in args_of(m.group(1)))
+        return Space("uniform", lo, hi)
+    m = re.fullmatch(r"range\((.*)\)", s)
+    if m:
+        args = [int(float(a)) for a in args_of(m.group(1))]
+        lo, hi = args[0], args[1]
+        step = args[2] if len(args) > 2 else 1
+        return Space("int", lo, hi - 1, step=step)  # python range: [a, b)
+    m = re.fullmatch(r"choice\((.*)\)", s)
+    if m:
+        return Space("choice",
+                     options=tuple(yaml.safe_load(a)
+                                   for a in args_of(m.group(1))))
+    raise ValueError(f"unsupported sweep space: {expr!r}")
+
+
+def load_search_config(path) -> dict:
+    """Load a configs/hparams_search/*.yaml file: returns
+    {metric, mode, n_trials, seed, n_startup, spaces: {key: Space}}."""
+    import yaml
+    from pathlib import Path
+
+    data = yaml.safe_load(Path(path).read_text())
+    sampler = data.get("sampler") or {}
+    return {
+        "metric": data.get("optimized_metric", "val_loss"),
+        "mode": {"minimize": "min", "maximize": "max"}[
+            data.get("direction", "minimize")],
+        "n_trials": int(data.get("n_trials", 20)),
+        "seed": int(sampler.get("seed", 0)),
+        "n_startup": int(sampler.get("n_startup_trials", 10)),
+        "spaces": {k: parse_space(v) for k, v in data["params"].items()},
+    }

@@ -59,6 +59,8 @@ class DataLoader:
         num_workers: int = 8,
         drop_last: bool = False,
         prefetch: int = 2,
+        num_shards: int = 1,
+        shard_index: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -68,9 +70,17 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.epoch = 0
+        # multi-host: this process loads every num_shards-th sample
+        # (DistributedSampler semantics — wraparound padding keeps every
+        # shard, and therefore every process's batch count, identical)
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+
+    def _shard_len(self) -> int:
+        return -(-len(self.dataset) // self.num_shards)
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = self._shard_len()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -83,6 +93,10 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.default_rng((self.seed, self.epoch))
             rng.shuffle(idx)
+        if self.num_shards > 1:
+            total = self._shard_len() * self.num_shards
+            idx = np.concatenate([idx, idx[: total - len(idx)]])
+            idx = idx[self.shard_index::self.num_shards]
         return idx
 
     def __iter__(self) -> Iterator[dict[str, Any]]:

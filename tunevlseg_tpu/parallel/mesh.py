@@ -22,6 +22,26 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def initialize_distributed(trainer_cfg: Optional[dict] = None) -> None:
+    """Multi-host entry (SURVEY §2.10): `jax.distributed.initialize()` over
+    DCN before any mesh/backend use. With no explicit knobs, jax auto-
+    detects the coordinator from the TPU pod environment; on plain hosts
+    set `trainer.coordinator_address/num_processes/process_id`.
+
+    Launch: run the same command on every host, e.g.
+        python -m tunevlseg_tpu.train trainer.multihost=true \\
+            trainer.coordinator_address=host0:8476 \\
+            trainer.num_processes=4 trainer.process_id=$RANK ...
+    The global mesh then spans all hosts' devices; each host loads its own
+    shard of the data (DataLoader num_shards/shard_index) and GSPMD rides
+    ICI within a slice and DCN across slices."""
+    t = trainer_cfg or {}
+    kwargs = {k: t[k] for k in ("coordinator_address", "num_processes",
+                                "process_id", "local_device_ids")
+              if t.get(k) is not None}
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(n_devices: Optional[int] = None,
               model_parallel: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
@@ -46,8 +66,16 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
-    """Device-put a host batch with the leading axis sharded over `data`."""
+    """Device-put a host batch with the leading axis sharded over `data`.
+
+    Multi-host: each process passes its LOCAL slice of the global batch
+    (global = local x process_count on the data axis); the pieces assemble
+    into one global array without any cross-host transfer."""
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 

@@ -65,6 +65,9 @@ class Trainer:
     early_stopping: Optional[EarlyStopping] = None
     limit_batches: Optional[int] = None  # debug (fdr/limit configs)
     loggers: tuple = ("jsonl", "csv")    # configs/logger/* equivalents
+    exp_name: Optional[str] = None       # run identity for wandb/tb
+    project: Optional[str] = None
+    tags: tuple = ()
     log_image_num: int = 4               # val panel size (module.py:176)
     # >1 fuses that many train steps into ONE XLA executable (lax.scan),
     # amortizing per-launch dispatch latency; metrics are means over the
@@ -73,11 +76,19 @@ class Trainer:
 
     def __post_init__(self):
         from tunevlseg_tpu.utils.logging import MultiLogger
+        if jax.process_count() > 1:
+            # multi-host: stacked host batches aren't global arrays (no
+            # multi-step fusion) and predictions are host-sharded (no panel)
+            self.steps_per_execution = 1
+            self.log_image_num = 0
         self.output_dir = Path(self.output_dir)
         self.ckpt = CheckpointManager(self.output_dir / "checkpoints",
                                       monitor=self.monitor)
         self.metrics_log = MultiLogger(self.output_dir,
-                                       backends=self.loggers)
+                                       backends=self.loggers,
+                                       project=self.project,
+                                       exp_name=self.exp_name,
+                                       tags=tuple(self.tags or ()))
         self._train_step = None
         self._fsh = None
 
@@ -236,7 +247,9 @@ class Trainer:
 
             epoch_metrics: dict[str, float] = {"epoch": epoch}
             if val_loader is not None:
-                if epoch == 0 and self.log_image_num > 0:
+                if self.log_image_num > 0:
+                    # first-val-batch prediction panel EVERY epoch
+                    # (reference image_text_mask_module.py:202-205)
                     self._log_val_panel(state, frozen, val_loader)
                 epoch_metrics.update(
                     self._run_eval(state, frozen, val_loader, "val"))

@@ -77,7 +77,10 @@ class MultiLogger(MetricLogger):
 
     def __init__(self, output_dir: Optional[str | Path] = None,
                  name: str = "metrics",
-                 backends: tuple = ("jsonl", "csv")):
+                 backends: tuple = ("jsonl", "csv"),
+                 project: Optional[str] = None,
+                 exp_name: Optional[str] = None,
+                 tags: tuple = ()):
         super().__init__(output_dir, name)
         self.backends = tuple(backends)
         self._rows: list[dict] = []
@@ -94,9 +97,30 @@ class MultiLogger(MetricLogger):
         if "wandb" in self.backends:
             try:  # pragma: no cover - not installed in this image
                 import wandb
-                self._wandb = wandb.init(project=name, dir=str(output_dir))
+                # reference configs/logger/wandb.yaml: project/name/tags
+                self._wandb = wandb.init(project=project or name,
+                                         name=exp_name, tags=list(tags),
+                                         dir=str(output_dir))
             except Exception as e:
                 self.logger.warning("wandb unavailable: %s", e)
+
+    def log_hyperparams(self, cfg: Mapping[str, Any],
+                        extras: Optional[Mapping[str, Any]] = None) -> None:
+        """Composed config + model stats (param counts) into every backend —
+        the reference's `log_hyperparameters` (src/utils/logging_utils.py:
+        16-58: cfg subtrees + model/params/total|trainable|non_trainable)."""
+        if not self._rank_zero():
+            return
+        payload = {"cfg": dict(cfg), **(extras or {})}
+        if self.path is not None:
+            (self.path.parent / "hparams.json").write_text(
+                json.dumps(payload, indent=2, default=str))
+        if self._tb is not None:
+            self._tb.add_text("hparams",
+                              "```\n" + json.dumps(payload, indent=2,
+                                                   default=str) + "\n```")
+        if self._wandb is not None:  # pragma: no cover
+            self._wandb.config.update(payload, allow_val_change=True)
 
     def log(self, metrics: Mapping[str, Any], step: int,
             prefix: str = "") -> None:

@@ -191,14 +191,110 @@ def _forward(q, k, v, bias):
     return out[:, :s, :, :d]
 
 
+def _backward_batched_heads(q, k, v, g):
+    """Fused backward for the unbiased batched-heads variant. The sequences
+    here are short (<=~512 after padding), so each head's full (s, t) score
+    matrix fits VMEM: recompute p = softmax(qk^T) flash-style (no stored
+    residual beyond q/k/v), then the standard 5-matmul attention backward
+
+        dv = p^T g,  dp = g v^T,  delta_i = sum_j p_ij dp_ij,
+        ds = p (dp - delta) * scale,  dq = ds k,  dk = ds^T q
+
+    all inside one grid cell per (batch, head-group) — none of the four
+    (s, t) intermediates (scores, p, dp, ds) ever round-trips HBM, which is
+    the same reason the forward beats XLA at these shapes. Probabilities
+    and ds are cast to the input dtype for the MXU matmuls (f32
+    accumulation), mirroring the XLA recompute path's bf16 numerics."""
+    from jax.experimental import pallas as pl
+
+    b, s, h, d = q.shape
+    t = k.shape[1]
+    scale = d ** -0.5
+    s_pad = _ceil_to(s, 128)
+    t_pad = _ceil_to(t, 128)
+
+    def prep(x, to):
+        x = jnp.pad(x, ((0, 0), (0, to - x.shape[1]), (0, 0), (0, 0)))
+        return x.transpose(0, 2, 1, 3)
+
+    qf, kf = prep(q, s_pad), prep(k, t_pad)
+    vf, gf = prep(v, t_pad), prep(g.astype(q.dtype), s_pad)
+
+    # four f32 (s_pad, t_pad) live intermediates per head -> tighter VMEM
+    # budget than the forward's two
+    hg = 1
+    for cand in (4, 3, 2):
+        if h % cand == 0 and cand * s_pad * t_pad * 4 * 4 < 10 * 2 ** 20:
+            hg = cand
+            break
+
+    def kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref):
+        for head in range(hg):
+            qh = q_ref[0, head]                         # (s_pad, d)
+            kh = k_ref[0, head]                         # (t_pad, d)
+            vh = v_ref[0, head]
+            gh = g_ref[0, head]
+            scores = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            scores = jnp.where(col < t, scores, -jnp.inf)
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)  # (s_pad, t_pad) f32
+            pc = p.astype(qh.dtype)
+            # dv = p^T g
+            dv = jax.lax.dot_general(
+                pc, gh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # dp = g v^T
+            dp = jax.lax.dot_general(
+                gh, vh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+            ds = (p * (dp - delta) * scale).astype(qh.dtype)
+            dq = jax.lax.dot_general(
+                ds, kh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dk = jax.lax.dot_general(
+                ds, qh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dq_ref[0, head] = dq.astype(dq_ref.dtype)
+            dk_ref[0, head] = dk.astype(dk_ref.dtype)
+            dv_ref[0, head] = dv.astype(dv_ref.dtype)
+
+    spec_s = pl.BlockSpec((1, hg, s_pad, d), lambda i, j: (i, j, 0, 0))
+    spec_t = pl.BlockSpec((1, hg, t_pad, d), lambda i, j: (i, j, 0, 0))
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(b, h // hg),
+        in_specs=[spec_s, spec_t, spec_t, spec_s],
+        out_specs=(spec_s, spec_t, spec_t),
+        out_shape=(jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, t_pad, d), k.dtype),
+                   jax.ShapeDtypeStruct((b, h, t_pad, d), v.dtype)),
+        interpret=_INTERPRET,
+    )(qf, kf, vf, gf)
+
+    def unprep(x, n):
+        return x.transpose(0, 2, 1, 3)[:, :n]
+
+    return unprep(dq, s), unprep(dk, t), unprep(dv, t)
+
+
 def _fwd(q, k, v, bias):
     return _dispatch(q, k, v, bias), (q, k, v, bias)
 
 
 def _bwd(res, g):
     q, k, v, bias = res
-    # exact recomputation in XLA (runs only when gradients flow through
-    # the tower — visual-prompt strategies)
+    if bias is None and q.shape[1] == k.shape[1]:
+        try:
+            dq, dk, dv = _backward_batched_heads(q, k, v, g)
+            return dq, dk, dv, None
+        except Exception:  # Mosaic/VMEM limits -> XLA recompute below
+            pass
+    # exact recomputation in XLA (the biased/cross-attention variants)
     def ref_attn(q, k, v, bias):
         from tunevlseg_tpu.nn.attention import xla_attention
         return xla_attention(q, k, v, bias)

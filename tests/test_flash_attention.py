@@ -51,7 +51,7 @@ def test_gradients_flow(rng):
     q, k, v = rand_qkv(rng, b=1, s=64, h=2, d=32)
 
     def loss_fa(q, k, v):
-        return jnp.sum(fa.flash_attention_p(q, k, v, None) ** 2)
+        return jnp.sum(fa.flash_attention_p(None, q, k, v, None) ** 2)
 
     def loss_ref(q, k, v):
         return jnp.sum(xla_attention(q, k, v) ** 2)

@@ -28,7 +28,12 @@ log = get_logger(__name__)
 def main(argv: Optional[list[str]] = None) -> dict:
     overrides = argv if argv is not None else sys.argv[1:]
     cfg = compose(CONFIG_DIR, "eval", overrides)
+    # reference @task_wrapper (src/utils/utils.py:53-105)
+    from tunevlseg_tpu.utils.task_wrapper import run_guarded
+    return run_guarded(lambda: _run(cfg), cfg["paths"]["output_dir"])
 
+
+def _run(cfg: dict) -> dict:
     seed = cfg.get("seed", 0)
     tokenizer = load_default_tokenizer(cfg.get("vocab_path"))
     datasets = build_datasets(cfg, tokenizer)

@@ -140,7 +140,12 @@ def build_ris(cfg: dict) -> ZeroShotRIS:
 def main(argv: Optional[list[str]] = None) -> dict:
     overrides = argv if argv is not None else sys.argv[1:]
     cfg = compose(CONFIG_DIR, "eval_zeroshot", overrides)
+    # reference @task_wrapper (src/utils/utils.py:53-105)
+    from tunevlseg_tpu.utils.task_wrapper import run_guarded
+    return run_guarded(lambda: _run(cfg), cfg["paths"]["output_dir"])
 
+
+def _run(cfg: dict) -> dict:
     if cfg["model"].get("is_hf_model", True):
         tokenizer = load_default_tokenizer(cfg.get("vocab_path"))
     else:

@@ -18,8 +18,10 @@ visual prompt surgery (src/models/core_models/coop/vpt_clipseg.py:36-235):
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -28,6 +30,27 @@ from tunevlseg_tpu.nn.layers import PreNormEncoderLayer
 from tunevlseg_tpu.ops.image import resize_2d
 
 Dtype = Any
+
+# MXU sequence padding: at 352² the token count is 22·22+1 = 485, which
+# leaves the tower's GEMMs on ragged tiles; padding to the next multiple of
+# 128 (512) measured ~15% FASTER per encoder layer on v5e despite 5.6% more
+# FLOPs (scripts/micro_layer_scan.py: 5.45 vs 6.40 ms at b64 bf16).  Padded
+# tokens ride through LN/GEMMs but are never attended to (static `kv_valid`
+# masking in nn/attention.py) and are sliced off every exposed hidden state,
+# so the numerics are IDENTICAL to the unpadded run.  "auto" pads on TPU
+# only; "1" forces (tests), "0" disables.
+_PAD_SEQ = os.environ.get("TUNEVLSEG_PAD_SEQ", "auto")
+_PAD_MIN_SEQ = 256
+
+
+def _padded_len(s: int) -> Optional[int]:
+    """Target length if MXU padding applies at this sequence, else None."""
+    mode = _PAD_SEQ
+    if mode == "0" or s % 128 == 0 or s < _PAD_MIN_SEQ:
+        return None
+    if mode != "1" and jax.default_backend() != "tpu":
+        return None
+    return (s + 127) // 128 * 128
 
 
 class CLIPVisionTower(nn.Module):
@@ -115,18 +138,28 @@ class CLIPVisionTower(nn.Module):
                                     (x.shape[0], *visual_ctx.shape[1:]))
             x = jnp.concatenate([x, ctx0.astype(x.dtype)], axis=1)
 
+        # MXU seq padding (see _padded_len): the tower runs at the aligned
+        # length; every EXPOSED state (hidden_states entries, last, pooled)
+        # is sliced back to s_real, and attention masks the pad keys — the
+        # padded run is numerically identical to the unpadded one.
+        s_real = x.shape[1]
+        s_run = _padded_len(s_real)
+        if s_run is not None:
+            x = jnp.pad(x, ((0, 0), (0, s_run - s_real), (0, 0)))
+        kv_valid = s_real if s_run is not None else None
+
         x = self.pre_layernorm(x)
 
-        hidden_states = [x]
+        hidden_states = [x[:, :s_real]]
         max_layer = (max(extract_layers) if (early_exit and extract_layers)
                      else len(self.layers))
         for i, layer in enumerate(self.layers, start=1):
-            x = layer(x)
+            x = layer(x, kv_valid=kv_valid)
             if visual_ctx is not None and i < prompt_depth:
                 ctx_i = jnp.broadcast_to(visual_ctx[i][None],
                                          (x.shape[0], *visual_ctx.shape[1:]))
-                x = x.at[:, -num_ctx:].set(ctx_i.astype(x.dtype))
-            hidden_states.append(x)
+                x = x.at[:, s_real - num_ctx:s_real].set(ctx_i.astype(x.dtype))
+            hidden_states.append(x[:, :s_real])
             if i > max_layer:
                 break
 
@@ -134,4 +167,4 @@ class CLIPVisionTower(nn.Module):
             return hidden_states, None, None
 
         pooled = self.post_layernorm(x[:, 0])
-        return hidden_states, x, pooled
+        return hidden_states, x[:, :s_real], pooled

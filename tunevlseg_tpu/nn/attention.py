@@ -38,6 +38,7 @@ def xla_attention(
     k: jnp.ndarray,  # (B, T, H, Dh)
     v: jnp.ndarray,  # (B, T, H, Dh)
     bias: Optional[jnp.ndarray] = None,  # broadcastable to (B, H, S, T)
+    kv_valid: Optional[int] = None,      # static: mask keys >= kv_valid
 ) -> jnp.ndarray:
     head_dim = q.shape[-1]
     scale = head_dim ** -0.5
@@ -50,7 +51,13 @@ def xla_attention(
     scores = scores.astype(q.dtype)
     if bias is not None:
         scores = scores + bias.astype(scores.dtype)
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
+    scores = scores.astype(jnp.float32)
+    if kv_valid is not None and kv_valid < k.shape[1]:
+        # model-level seq padding: -inf keys -> exact-zero probabilities,
+        # identical numerics to the unpadded sequence
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 3)
+        scores = jnp.where(col < kv_valid, scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     return jnp.einsum("bhst,bthd->bshd", probs, v)
 
 
@@ -59,8 +66,13 @@ def dot_product_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     bias: Optional[jnp.ndarray] = None,
+    kv_valid: Optional[int] = None,
 ) -> jnp.ndarray:
-    """Dispatch between the Pallas flash kernel and the XLA path."""
+    """Dispatch between the Pallas flash kernel and the XLA path.
+
+    `kv_valid` is the STATIC count of real key/value tokens when the model
+    runs with MXU-aligned sequence padding (models/clip/vision.py); both
+    paths zero out attention to positions >= kv_valid."""
     use_flash = _USE_FLASH == "1" or (
         _USE_FLASH == "auto"
         and bias is None  # only the validated batched-heads kernel by default
@@ -71,10 +83,10 @@ def dot_product_attention(
     if use_flash:
         from tunevlseg_tpu.ops import flash_attention as fa
 
-        out = fa.flash_attention(q, k, v, bias=bias)
+        out = fa.flash_attention(q, k, v, bias=bias, kv_valid=kv_valid)
         if out is not None:
             return out
-    return xla_attention(q, k, v, bias)
+    return xla_attention(q, k, v, bias, kv_valid=kv_valid)
 
 
 def causal_bias(seq_len: int, dtype=jnp.float32) -> jnp.ndarray:

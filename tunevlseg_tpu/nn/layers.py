@@ -51,6 +51,7 @@ class MultiHeadAttention(nn.Module):
         hidden_states: jnp.ndarray,            # (B, S, D)
         attn_bias: Optional[jnp.ndarray] = None,  # broadcastable to (B, H, S, S)
         kv_states: Optional[jnp.ndarray] = None,  # cross-attention memory (B, T, D)
+        kv_valid: Optional[int] = None,           # static real-token count
     ) -> jnp.ndarray:
         d = hidden_states.shape[-1]
         if d % self.num_heads:
@@ -66,7 +67,8 @@ class MultiHeadAttention(nn.Module):
         def split(x):
             return x.reshape(*x.shape[:-1], self.num_heads, head_dim)
 
-        out = dot_product_attention(split(q), split(k), split(v), bias=attn_bias)
+        out = dot_product_attention(split(q), split(k), split(v),
+                                    bias=attn_bias, kv_valid=kv_valid)
         out = out.reshape(*hidden_states.shape[:-1], d)
         return dense("out_proj")(out)
 
@@ -94,12 +96,14 @@ class PreNormEncoderLayer(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, attn_bias: Optional[jnp.ndarray] = None):
+    def __call__(self, x: jnp.ndarray, attn_bias: Optional[jnp.ndarray] = None,
+                 kv_valid: Optional[int] = None):
         ln = lambda name: nn.LayerNorm(epsilon=self.layer_norm_eps,
                                        dtype=self.dtype, name=name)
         h = ln("layer_norm1")(x)
         x = x + MultiHeadAttention(self.num_heads, dtype=self.dtype,
-                                   name="self_attn")(h, attn_bias)
+                                   name="self_attn")(h, attn_bias,
+                                                     kv_valid=kv_valid)
         h = ln("layer_norm2")(x)
         return x + TransformerMLP(self.intermediate_size, self.act,
                                   dtype=self.dtype, name="mlp")(h)

@@ -34,18 +34,18 @@ def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _dispatch(q, k, v, bias):
+def _dispatch(q, k, v, bias, kv_valid=None):
     if bias is None and q.shape[1] == k.shape[1]:
-        return _forward_batched_heads(q, k, v)
-    return _forward(q, k, v, bias)
+        return _forward_batched_heads(q, k, v, kv_valid)
+    return _forward(q, k, v, bias, kv_valid)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def flash_attention_p(q, k, v, bias):
-    return _dispatch(q, k, v, bias)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def flash_attention_p(kv_valid, q, k, v, bias):
+    return _dispatch(q, k, v, bias, kv_valid)
 
 
-def _forward_batched_heads(q, k, v):
+def _forward_batched_heads(q, k, v, kv_valid=None):
     """Unbiased variant tuned for SHORT sequences: grid over batch only,
     all heads processed inside one grid cell (statically unrolled), blocks
     kept in the native (S, H, D) layout — no fold transposes and cells big
@@ -53,10 +53,10 @@ def _forward_batched_heads(q, k, v):
     from jax.experimental import pallas as pl
 
     b, s, h, d = q.shape
-    t = k.shape[1]
+    t = k.shape[1] if kv_valid is None else kv_valid  # mask model-level pads
     scale = d ** -0.5
     s_pad = _ceil_to(s, 128)
-    t_pad = _ceil_to(t, 128)
+    t_pad = _ceil_to(k.shape[1], 128)
 
     def prep(x, to):
         x = jnp.pad(x, ((0, 0), (0, to - x.shape[1]), (0, 0), (0, 0)))
@@ -105,17 +105,17 @@ def _forward_batched_heads(q, k, v):
     return out.transpose(0, 2, 1, 3)[:, :s]
 
 
-def _forward(q, k, v, bias):
+def _forward(q, k, v, bias, kv_valid=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, s, h, d = q.shape
-    t = k.shape[1]
+    t = k.shape[1] if kv_valid is None else kv_valid
     scale = d ** -0.5
 
     block_q = min(_ceil_to(s, 8), 256)
     s_pad = _ceil_to(s, block_q)
-    t_pad = _ceil_to(t, 128)
+    t_pad = _ceil_to(k.shape[1], 128)
     # keep the native head dim: Mosaic lane-pads internally without the
     # explicit 2x FLOP cost of materializing zeros to 128
     d_pad = _ceil_to(d, 64)
@@ -135,9 +135,10 @@ def _forward(q, k, v, bias):
 
     has_bias = bias is not None
     if has_bias:
-        bias_full = jnp.broadcast_to(bias, (b, h, s, t)).astype(jnp.float32)
+        tb = k.shape[1]
+        bias_full = jnp.broadcast_to(bias, (b, h, s, tb)).astype(jnp.float32)
         bias_full = jnp.pad(bias_full,
-                            ((0, 0), (0, 0), (0, s_pad - s), (0, t_pad - t)))
+                            ((0, 0), (0, 0), (0, s_pad - s), (0, t_pad - tb)))
         bias_full = bias_full.reshape(b * h, s_pad, t_pad)
 
     grid = (b * h, s_pad // block_q)
@@ -191,7 +192,7 @@ def _forward(q, k, v, bias):
     return out[:, :s, :, :d]
 
 
-def _backward_batched_heads(q, k, v, g):
+def _backward_batched_heads(q, k, v, g, kv_valid=None):
     """Fused backward for the unbiased batched-heads variant. The sequences
     here are short (<=~512 after padding), so each head's full (s, t) score
     matrix fits VMEM: recompute p = softmax(qk^T) flash-style (no stored
@@ -208,10 +209,10 @@ def _backward_batched_heads(q, k, v, g):
     from jax.experimental import pallas as pl
 
     b, s, h, d = q.shape
-    t = k.shape[1]
+    t = k.shape[1] if kv_valid is None else kv_valid
     scale = d ** -0.5
     s_pad = _ceil_to(s, 128)
-    t_pad = _ceil_to(t, 128)
+    t_pad = _ceil_to(k.shape[1], 128)
 
     def prep(x, to):
         x = jnp.pad(x, ((0, 0), (0, to - x.shape[1]), (0, 0), (0, 0)))
@@ -279,25 +280,27 @@ def _backward_batched_heads(q, k, v, g):
     def unprep(x, n):
         return x.transpose(0, 2, 1, 3)[:, :n]
 
-    return unprep(dq, s), unprep(dk, t), unprep(dv, t)
+    # masked key columns produce EXACT zero dk/dv rows (p and ds vanish
+    # there), so slicing back to the full input T is correct under kv_valid
+    return unprep(dq, s), unprep(dk, k.shape[1]), unprep(dv, k.shape[1])
 
 
-def _fwd(q, k, v, bias):
-    return _dispatch(q, k, v, bias), (q, k, v, bias)
+def _fwd(kv_valid, q, k, v, bias):
+    return _dispatch(q, k, v, bias, kv_valid), (q, k, v, bias)
 
 
-def _bwd(res, g):
+def _bwd(kv_valid, res, g):
     q, k, v, bias = res
     if bias is None and q.shape[1] == k.shape[1]:
         try:
-            dq, dk, dv = _backward_batched_heads(q, k, v, g)
+            dq, dk, dv = _backward_batched_heads(q, k, v, g, kv_valid)
             return dq, dk, dv, None
         except Exception:  # Mosaic/VMEM limits -> XLA recompute below
             pass
     # exact recomputation in XLA (the biased/cross-attention variants)
     def ref_attn(q, k, v, bias):
         from tunevlseg_tpu.nn.attention import xla_attention
-        return xla_attention(q, k, v, bias)
+        return xla_attention(q, k, v, bias, kv_valid=kv_valid)
 
     _, vjp = jax.vjp(ref_attn, q, k, v, bias)
     dq, dk, dv, dbias = vjp(g)
@@ -310,11 +313,16 @@ flash_attention_p.defvjp(_fwd, _bwd)
 _warned = False
 
 
-def flash_attention(q, k, v, bias: Optional[jnp.ndarray] = None):
-    """Returns fused attention output, or None to signal fallback."""
+def flash_attention(q, k, v, bias: Optional[jnp.ndarray] = None,
+                    kv_valid: Optional[int] = None):
+    """Returns fused attention output, or None to signal fallback.
+
+    `kv_valid` (static) masks key/value positions >= kv_valid — the
+    model-level MXU seq-padding contract (models/clip/vision.py): padded
+    tokens may ride through the GEMMs but must never be attended to."""
     global _warned
     try:
-        return flash_attention_p(q, k, v, bias)
+        return flash_attention_p(kv_valid, q, k, v, bias)
     except Exception as e:  # fall back to the XLA path, but say so once
         if not _warned:
             _warned = True

@@ -268,7 +268,13 @@ def save_composed_config(cfg: dict, output_dir: Path) -> None:
 def main(argv: Optional[list[str]] = None) -> dict:
     overrides = argv if argv is not None else sys.argv[1:]
     cfg = compose(CONFIG_DIR, "train", overrides)
+    # reference @task_wrapper (src/utils/utils.py:53-105): save the
+    # exception, mark the run failed, close loggers, re-raise
+    from tunevlseg_tpu.utils.task_wrapper import run_guarded
+    return run_guarded(lambda: _run(cfg), cfg["paths"]["output_dir"])
 
+
+def _run(cfg: dict) -> dict:
     if cfg.get("debug_nans"):
         # reference debug/default.yaml detect_anomaly -> fail fast on NaNs
         jax.config.update("jax_debug_nans", True)

@@ -47,6 +47,13 @@ def dice_iou(pred: np.ndarray, gt: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def main() -> None:
+    import os
+    if os.environ.get("TUNEVLSEG_FORCE_CPU"):
+        # JAX_PLATFORMS is ignored by the axon TPU plugin; this is the
+        # reliable pre-backend-init CPU force (see tests/conftest.py)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", choices=("limit", "topk"))
     ap.add_argument("--topk", type=int, nargs="+", default=(1, 5, 10))

@@ -83,13 +83,15 @@ def test_analyze_zeroshot_limit_and_topk(tmp_path):
         "+tiny_model=true",
         "img_size=64",
     ]
+    import os
+    env = {**os.environ, "TUNEVLSEG_FORCE_CPU": "1"}
     for mode, extra in (("limit", []), ("topk", ["--topk", "1", "2"])):
         out = tmp_path / f"zs_{mode}"
         res = subprocess.run(
             [sys.executable, str(REPO / "scripts" / "analyze_zeroshot.py"),
              mode, *extra, "--plots", "--out-dir", str(out), "--",
              *overrides],
-            capture_output=True, text=True)
+            capture_output=True, text=True, env=env)
         assert res.returncode == 0, res.stderr
         metrics = json.loads((out / f"{mode}_metrics.json").read_text())
         assert metrics["images"] == 2

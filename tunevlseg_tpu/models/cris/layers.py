@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from tunevlseg_tpu.nn.attention import xla_attention
+from tunevlseg_tpu.nn.attention import dot_product_attention
 from tunevlseg_tpu.nn.conv import Conv2d, conv2d
 from tunevlseg_tpu.models.cris.resnet import BatchNorm1d, BatchNorm2d, avg_pool_nchw
 from tunevlseg_tpu.ops.image import upsample_scale, resize_2d
@@ -160,7 +160,8 @@ class MHA(nn.Module):
         kh = dense("k_proj")(k)
         vh = dense("v_proj")(v)
         split = lambda t: t.reshape(*t.shape[:-1], self.num_heads, hd)
-        out = xla_attention(split(qh), split(kh), split(vh), bias=key_pad_bias)
+        out = dot_product_attention(split(qh), split(kh), split(vh),
+                                    bias=key_pad_bias)
         out = out.reshape(*q.shape[:-1], d)
         return dense("out_proj")(out)
 

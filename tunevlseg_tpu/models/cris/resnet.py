@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from tunevlseg_tpu.nn.attention import xla_attention
+from tunevlseg_tpu.nn.attention import dot_product_attention
 from tunevlseg_tpu.nn.conv import Conv2d, conv2d
 from tunevlseg_tpu.ops.image import resize_2d
 
@@ -180,7 +180,7 @@ class AttentionPool2d(nn.Module):
         v = dense(self.embed_dim, "v_proj")(seq)
         hd = self.embed_dim // self.num_heads
         split = lambda t: t.reshape(b, h * w, self.num_heads, hd)
-        attn = xla_attention(split(q), split(k), split(v))
+        attn = dot_product_attention(split(q), split(k), split(v))
         attn = attn.reshape(b, h * w, self.embed_dim)
         out = dense(self.output_dim, "c_proj")(attn)
         out = out.transpose(0, 2, 1).reshape(b, self.output_dim, h, w)

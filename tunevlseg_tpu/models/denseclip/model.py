@@ -32,7 +32,7 @@ import numpy as np
 from flax import linen as nn
 
 from tunevlseg_tpu.models.cris.resnet import BatchNorm2d, Bottleneck, avg_pool_nchw
-from tunevlseg_tpu.nn.attention import causal_bias, xla_attention
+from tunevlseg_tpu.nn.attention import causal_bias, dot_product_attention
 from tunevlseg_tpu.nn.conv import Conv2d
 from tunevlseg_tpu.nn.layers import PreNormEncoderLayer
 from tunevlseg_tpu.ops.image import resize_2d
@@ -132,7 +132,7 @@ class DenseCLIPAttentionPool(nn.Module):
         v = dense(self.embed_dim, "v_proj")(seq)
         hd = self.embed_dim // self.num_heads
         split = lambda t: t.reshape(b, -1, self.num_heads, hd)
-        out = xla_attention(split(q), split(k), split(v))
+        out = dot_product_attention(split(q), split(k), split(v))
         out = dense(self.output_dim, "c_proj")(
             out.reshape(b, -1, self.embed_dim))
         global_feat = out[:, 0]
@@ -393,7 +393,7 @@ class BiasFreeMHA(nn.Module):
         kh = dense_nb("k_proj")(k)
         vh = dense_nb("v_proj")(v)
         split = lambda t: t.reshape(*t.shape[:-1], self.num_heads, hd)
-        out = xla_attention(split(qh), split(kh), split(vh))
+        out = dot_product_attention(split(qh), split(kh), split(vh))
         out = out.reshape(*q.shape[:-1], d)
         return nn.Dense(d, dtype=self.dtype, name="proj")(out)
 

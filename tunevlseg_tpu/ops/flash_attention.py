@@ -1,13 +1,17 @@
-"""Fused attention Pallas TPU kernels (OPT-IN: TUNEVLSEG_FLASH=1).
+"""Fused attention Pallas TPU kernels.
 
 Two variants for the framework's short CLIP sequences (485+ctx tokens):
   * `_forward_batched_heads` (unbiased): grid over batch, a head-group per
     cell in the native layout — softmax(QKᵀ)V entirely in VMEM, no S×S
-    scores in HBM;
+    scores in HBM; paired with the fused `_backward_batched_heads` vjp;
   * `_forward` (biased): grid over (batch·head, q-block) with full K/V per
-    cell.
-Backward recomputes attention in XLA (exact same math; it only runs for
-visual-prompt strategies where gradients flow through the frozen tower).
+    cell; backward recomputes in XLA.
+All variants take a STATIC `kv_valid`: keys/values at positions >= kv_valid
+are masked to exact-zero probability (and exact-zero dk/dv), supporting the
+model-level MXU sequence padding in models/clip/vision.py.
+Grid-shape sweeps (scripts/micro_attn.py head groups, micro_attn_grid.py
+batch groups + dimension_semantics) confirmed the current shape is the
+fastest of the family at the CLIPSeg vision shape (2.23ms vs 2.30-2.76).
 
 MEASURED RESULT (v5e): the batched-heads kernel is ~1.6x FASTER than the
 XLA fused path at the CLIPSeg vision shape — 2.86 vs 4.63 ms/call, in-jit

@@ -31,6 +31,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="coop_clipseg",
                     choices=("coop_clipseg", "coop_cris", "trans_seg"))
+    ap.add_argument("--strategy", default=None,
+                    help="override the prompt strategy for the clipseg "
+                         "model (coop/cocoop/vpt/maple/shared_separate/"
+                         "shared_attn; vpt/maple train THROUGH the frozen "
+                         "vision tower and exercise the Pallas backward)")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--img", type=int, default=None)
     ap.add_argument("--scan", type=int, default=5,
@@ -76,9 +81,10 @@ def main() -> None:
     else:
         from tunevlseg_tpu.models.presets import build_clipseg
         IMG = args.img or 352
-        model, spec = build_clipseg("coop", prompt_depth=3, num_context=4,
+        strat = args.strategy or "coop"
+        model, spec = build_clipseg(strat, prompt_depth=3, num_context=4,
                                     dtype=jnp.bfloat16)
-        metric = (f"clipseg_vitb16_coop_train_steps_per_sec_per_chip_"
+        metric = (f"clipseg_vitb16_{strat}_train_steps_per_sec_per_chip_"
                   f"b{BATCH}_{IMG}")
     task = SegmentationTask(model, spec, learning_rate=2e-4)
 

@@ -11,8 +11,13 @@ EXPERIMENT=${EXPERIMENT:-coop/clipseg}
 TRIALS=${TRIALS:-10}
 METRIC=${METRIC:-val_loss}
 DATASETS=${DATASETS:-"bkai_polyp clinicdb_polyp kvasir_polyp busi chexlocalize dfu isic"}
+# per-strategy search space (configs/hparams_search/<name>.yaml) — mirrors
+# the reference's hparams_search=<strategy>_optuna pairing; default derives
+# the strategy from the experiment name (coop/clipseg -> coop)
+SPACE=${SPACE:-$(basename "$(dirname "$EXPERIMENT")")}
+[ -z "$SPACE" ] || [ "$SPACE" = "." ] && SPACE=coop
 
 for ds_name in $DATASETS; do
-  python scripts/sweep.py --trials "$TRIALS" --metric "$METRIC" -- \
-    "experiment=$EXPERIMENT" "ds_name=$ds_name" "$@"
+  python scripts/sweep.py --space "$SPACE" --trials "$TRIALS" \
+    --metric "$METRIC" -- "experiment=$EXPERIMENT" "ds_name=$ds_name" "$@"
 done

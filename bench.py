@@ -32,9 +32,10 @@ def main() -> None:
     ap.add_argument("--model", default="coop_clipseg",
                     choices=("coop_clipseg", "coop_cris", "trans_seg"))
     ap.add_argument("--strategy", default=None,
+                    choices=("coop", "cocoop", "vpt", "maple",
+                             "shared_separate", "shared_attn"),
                     help="override the prompt strategy for the clipseg "
-                         "model (coop/cocoop/vpt/maple/shared_separate/"
-                         "shared_attn; vpt/maple train THROUGH the frozen "
+                         "model (vpt/maple train THROUGH the frozen "
                          "vision tower and exercise the Pallas backward)")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--img", type=int, default=None)

@@ -104,6 +104,11 @@ def main() -> None:
             if not len(masks):
                 max_dices.append(0.0)
                 max_ious.append(0.0)
+                # a zero-proposal image IS the worst case (dice 0): keep it
+                # eligible for the worst-example triptych with an empty mask
+                if 0.0 < worst[0]:
+                    worst = (0.0, (item["image"], gt,
+                                   np.zeros_like(gt, dtype=np.float32), 0.0))
                 continue
             dice, iou = dice_iou(masks > 0.5, gt > 0.5)
         else:

@@ -18,6 +18,10 @@ import jax
 
 if os.environ.get("TUNEVLSEG_TEST_TPU", "0") != "1":
     jax.config.update("jax_platforms", "cpu")
+else:
+    # CI-equivalent chip runs must fail LOUDLY on kernel breakage, not
+    # silently demote to the XLA fallback (VERDICT r2 #7)
+    os.environ.setdefault("TUNEVLSEG_FLASH", "strict")
 
 import numpy as np
 import pytest

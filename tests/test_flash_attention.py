@@ -91,6 +91,25 @@ def test_pallas_backward_direct(rng):
                                atol=2e-4, rtol=1e-3)
 
 
+def test_strict_mode_reraises(rng, monkeypatch):
+    """TUNEVLSEG_FLASH=strict: a kernel failure must RAISE, not demote to
+    the warn-once XLA fallback (VERDICT r2 #7)."""
+    q, k, v = rand_qkv(rng, b=1, s=64, h=2, d=32)
+
+    def boom(*a, **kw):
+        raise RuntimeError("mosaic exploded")
+
+    monkeypatch.setattr(fa, "_dispatch", boom)
+    # default (non-strict): silent fallback signal
+    monkeypatch.setenv("TUNEVLSEG_FLASH", "auto")
+    fa._warned = False
+    assert fa.flash_attention(q, k, v) is None
+    # strict: re-raise
+    monkeypatch.setenv("TUNEVLSEG_FLASH", "strict")
+    with pytest.raises(RuntimeError, match="mosaic exploded"):
+        fa.flash_attention(q, k, v)
+
+
 def test_pallas_backward_bf16_vision_shape(rng):
     """Grad parity at the CLIPSeg vision shape in bf16 (VERDICT item 8:
     <= 2e-3 vs the XLA recompute path)."""

@@ -125,6 +125,75 @@ def test_paired_losses_match_reference_derivation(ref_utils):
                                float(loss_pw), rtol=1e-4)
 
 
+def test_paired_losses_per_level_matches_reference_loop(ref_utils):
+    """With `level_ids`, aggregation must match the reference's per-FPN-level
+    loop EXACTLY (ref solov2.py:423-495: per-level instance mean, then mean
+    over levels that have instances) — including uneven level occupancy and
+    an empty level."""
+    rng = np.random.default_rng(7)
+    n, h, w = 7, 16, 16
+    logits = rng.standard_normal((n, h, w)) * 2.0
+    target = np.zeros((n, h, w))
+    for i in range(n):
+        y0, x0 = rng.integers(0, 6, 2)
+        target[i, y0:y0 + 8, x0:x0 + 8] = 1.0
+    sim = rng.random((n, 8, h, w))
+    # levels 0 (4 inst), 2 (1 inst), 3 (2 inst); levels 1 and 4 empty
+    level_ids = np.array([0, 0, 2, 3, 0, 3, 0])
+    step, warmup = 500, 1000
+
+    # torch reference loop over levels (skipping empty ones = input is None)
+    li_max, li, lpw = [], [], []
+    for lv in range(5):
+        sel = level_ids == lv
+        if not sel.any():
+            continue
+        tin = torch.tensor(logits[sel])
+        ttar = torch.tensor(target[sel])
+        scores = torch.sigmoid(tin)
+        ly = ref_utils.dice_coefficient(scores.max(dim=1, keepdim=True)[0],
+                                        ttar.max(dim=1, keepdim=True)[0])
+        lx = ref_utils.dice_coefficient(scores.max(dim=2, keepdim=True)[0],
+                                        ttar.max(dim=2, keepdim=True)[0])
+        li_max.append((ly + lx).mean())
+        ly = ref_utils.dice_coefficient(scores.mean(dim=1, keepdim=True),
+                                        ttar.mean(dim=1, keepdim=True))
+        lx = ref_utils.dice_coefficient(scores.mean(dim=2, keepdim=True),
+                                        ttar.mean(dim=2, keepdim=True))
+        li.append((ly + lx).mean())
+        pw = ref_utils.compute_pairwise_term(tin[:, None], 3, 2)
+        box_t = (ttar.max(dim=1, keepdim=True)[0].expand(-1, h, -1)
+                 * ttar.max(dim=2, keepdim=True)[0].expand(-1, -1, w))
+        weights = ((torch.tensor(sim[sel]) >= 0.3).float()
+                   * box_t[:, None].float())
+        lpw.append((pw * weights).sum() / weights.sum().clamp(min=1.0)
+                   * min(step / warmup, 1.0))
+    ref = {
+        "loss_ins_max": torch.stack(li_max).mean() * 3.0,
+        "loss_ins": torch.stack(li).mean() * 3.0 * 0.1,
+        "loss_pairwise": torch.stack(lpw).mean(),
+    }
+
+    got = pl.paired_losses(jnp.asarray(logits), jnp.asarray(target),
+                           jnp.asarray(sim), jnp.ones((n,)),
+                           level_ids=jnp.asarray(level_ids), num_levels=5,
+                           step=step, warmup_iters=warmup)
+    for k in ref:
+        np.testing.assert_allclose(float(got[k]), float(ref[k]), rtol=1e-4)
+
+    # padding invariance holds in per-level mode too
+    pad = lambda a: jnp.concatenate(
+        [jnp.asarray(a), jnp.asarray(rng.standard_normal((2, *a.shape[1:])))])
+    padded = pl.paired_losses(
+        pad(logits),
+        jnp.concatenate([jnp.asarray(target), jnp.zeros((2, h, w))]),
+        pad(sim), jnp.array([1.0] * n + [0.0] * 2),
+        level_ids=jnp.asarray(np.concatenate([level_ids, [1, 4]])),
+        num_levels=5, step=step, warmup_iters=warmup)
+    for k in ref:
+        np.testing.assert_allclose(float(padded[k]), float(got[k]), rtol=1e-6)
+
+
 def test_paired_losses_padding_invariance():
     """Appending invalid rows must not change any loss term."""
     rng = np.random.default_rng(5)

@@ -165,6 +165,38 @@ def test_cris_e2e_batch_stats_update(cpu_mesh, rng):
     bb_after = np.asarray(after["visual"]["bn1"]["running_mean"])
     np.testing.assert_array_equal(bb_after, bb_before)
 
+def test_tp_shard_report_warns_on_fallback(capsys):
+    """Indivisible params under tp>1 must WARN + appear in the shard report
+    (VERDICT r2 #4: silent replication is a perf bug). The framework logger
+    writes to stdout with propagate=False, so assertions read capsys."""
+    from tunevlseg_tpu.parallel import sharding_rules
+
+    mesh = mesh_lib.make_mesh(8, model_parallel=2)
+    tree = {
+        "layer": {"q_proj": {"kernel": np.zeros((6, 8), np.float32)},
+                  # 7 not divisible by tp=2 -> fallback
+                  "fc1": {"kernel": np.zeros((6, 7), np.float32)},
+                  "ln": {"scale": np.zeros((6,), np.float32)}},
+    }
+    specs = sharding_rules.tp_param_specs(tree, mesh)
+    out = capsys.readouterr().out
+    from jax.sharding import PartitionSpec as P
+    assert specs["layer"]["q_proj"]["kernel"] == P(None, "model")
+    assert specs["layer"]["fc1"]["kernel"] == P()        # fell back
+    assert specs["layer"]["ln"]["scale"] == P()          # by rule
+    warn_lines = [ln for ln in out.splitlines() if "WARNING" in ln]
+    assert any("fc1" in ln and "FALLBACK" in ln for ln in warn_lines)
+    assert not any("q_proj" in ln for ln in warn_lines)
+    report = [ln for ln in out.splitlines() if "shard report" in ln]
+    assert report
+    assert "1 params sharded" in report[0] and "FALLBACK" in report[0]
+
+    # tp=1 mesh: silent (no warnings, no report)
+    sharding_rules.tp_param_specs(tree, mesh_lib.make_mesh(8))
+    out = capsys.readouterr().out
+    assert "WARNING" not in out and "shard report" not in out
+
+
 def test_tensor_parallel_matches_data_parallel(rng):
     """dp=4×tp=2 (Megatron column/row rules on the frozen tower) must produce
     the same loss/metrics as pure dp=8 — GSPMD only changes layout, not math."""

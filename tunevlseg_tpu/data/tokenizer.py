@@ -297,14 +297,245 @@ class WordPieceTokenizer:
         return {"input_ids": input_ids, "attention_mask": attention_mask}
 
 
+class SigLIPTokenizer:
+    """SentencePiece-unigram tokenizer with SigLIP semantics, self-contained.
+
+    Replaces HF `SiglipTokenizer` (transformers/models/siglip/
+    tokenization_siglip.py), which the reference reaches through
+    `AutoTokenizer` for the TransformerSegmentor's SigLIP encoder
+    (src/models/core_models/trans_segmentor/encoder.py:20-115,
+    src/data/core_datasets/basedataset.py:50-69). That class needs the
+    `sentencepiece` binary wheel; this one parses the standard
+    `spiece.model` ModelProto directly (minimal protobuf wire reader — the
+    relevant schema is stable: repeated SentencePiece{piece=1, score=2,
+    type=3} at field 1) and runs unigram Viterbi segmentation in Python.
+
+    Pipeline parity with the HF slow tokenizer:
+      * lowercase (`do_lower_case=True` default),
+      * `canonicalize_text`: strip ASCII punctuation, collapse whitespace
+        (big_vision prompt_engineering semantics),
+      * leading `▁` prefix, spaces → `▁` (add_dummy_prefix disabled — the
+        prefix is added EXPLICITLY by SiglipTokenizer.tokenize),
+      * unigram Viterbi: maximize summed piece log-probs; unknown chars get
+        `min_score - 10` (sentencepiece's kUnkPenalty) and consecutive
+        unknowns fuse into one `<unk>` (sentencepiece/HF-fast `fuse_unk`),
+      * `</s>` appended; pad with `</s>` (= pad token) to max_length 64.
+    NFKC here approximates the model's precompiled nmt_nfkc charsmap —
+    exact for ASCII prompts (the framework's datasets), same caveat as the
+    ftfy approximation above.
+    """
+
+    SPIECE_UNDERLINE = "▁"
+    _NORMAL, _UNKNOWN, _CONTROL, _USER_DEFINED, _UNUSED, _BYTE = range(1, 7)
+
+    def __init__(self, vocab_path: Union[str, Path], lowercase: bool = True,
+                 max_length: int = 64):
+        pieces = self._parse_model_proto(Path(vocab_path).read_bytes())
+        if not pieces:
+            raise ValueError(f"no sentencepiece pieces in {vocab_path}")
+        self.pieces = pieces
+        self.lowercase = lowercase
+        self.max_length = max_length
+        # matchable surface vocab: NORMAL + USER_DEFINED pieces only
+        # (control/unknown pieces never match raw text)
+        self._vocab: dict[str, tuple[int, float]] = {}
+        self._max_piece_len = 1
+        unk_id = 0
+        min_score = 0.0
+        for i, (piece, score, ptype) in enumerate(pieces):
+            if ptype == self._UNKNOWN:
+                unk_id = i
+            if ptype in (self._NORMAL, self._USER_DEFINED):
+                self._vocab[piece] = (i, score)
+                self._max_piece_len = max(self._max_piece_len, len(piece))
+                min_score = min(min_score, score)
+        self.unk_token_id = unk_id
+        self._unk_score = min_score - 10.0     # sentencepiece kUnkPenalty
+        ids = {p: i for i, (p, _, _) in enumerate(pieces)}
+        self.eos_token_id = ids.get("</s>", 1)
+        self.pad_token_id = self.eos_token_id  # HF SiglipTokenizer: pad=</s>
+        self.decoder = {i: p for i, (p, _, _) in enumerate(pieces)}
+        self.vocab_size = len(pieces)
+
+    # -- model file ---------------------------------------------------------
+
+    @classmethod
+    def _parse_model_proto(cls, data: bytes):
+        """Minimal ModelProto reader: [(piece, score, type), ...]."""
+        import struct
+
+        def varint(buf, i):
+            shift = out = 0
+            while True:
+                b = buf[i]
+                i += 1
+                out |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    return out, i
+                shift += 7
+
+        def skip(buf, i, wire):
+            if wire == 0:
+                return varint(buf, i)[1]
+            if wire == 1:
+                return i + 8
+            if wire == 2:
+                ln, i = varint(buf, i)
+                return i + ln
+            if wire == 5:
+                return i + 4
+            raise ValueError(f"unsupported protobuf wire type {wire}")
+
+        pieces = []
+        i = 0
+        while i < len(data):
+            tag, i = varint(data, i)
+            field, wire = tag >> 3, tag & 7
+            if field == 1 and wire == 2:       # repeated SentencePiece
+                ln, i = varint(data, i)
+                sub, i = data[i:i + ln], i + ln
+                piece, score, ptype = "", 0.0, cls._NORMAL
+                j = 0
+                while j < len(sub):
+                    t, j = varint(sub, j)
+                    f, w = t >> 3, t & 7
+                    if f == 1 and w == 2:
+                        l2, j = varint(sub, j)
+                        piece = sub[j:j + l2].decode("utf-8")
+                        j += l2
+                    elif f == 2 and w == 5:
+                        score = struct.unpack("<f", sub[j:j + 4])[0]
+                        j += 4
+                    elif f == 3 and w == 0:
+                        ptype, j = varint(sub, j)
+                    else:
+                        j = skip(sub, j, w)
+                pieces.append((piece, score, ptype))
+            else:
+                i = skip(data, i, wire)
+        return pieces
+
+    # -- text pipeline ------------------------------------------------------
+
+    _PUNCT_TABLE = str.maketrans(
+        "", "", r"""!"#$%&'()*+,-./:;<=>?@[\]^_`{|}~""")  # string.punctuation
+
+    def canonicalize_text(self, text: str) -> str:
+        """big_vision canonicalization (HF SiglipTokenizer.canonicalize_text):
+        ASCII punctuation removed, whitespace collapsed + stripped."""
+        text = text.translate(self._PUNCT_TABLE)
+        return re.sub(r"\s+", " ", text).strip()
+
+    def _viterbi(self, s: str) -> list[int]:
+        """Best unigram segmentation of `s` (▁-escaped, no specials)."""
+        n = len(s)
+        NEG = float("-inf")
+        best = [NEG] * (n + 1)
+        back: list[tuple[int, int]] = [(0, 0)] * (n + 1)  # (start, piece_id)
+        best[0] = 0.0
+        for i in range(n):
+            if best[i] == NEG:
+                continue
+            hi = min(n, i + self._max_piece_len)
+            for j in range(i + 1, hi + 1):
+                hit = self._vocab.get(s[i:j])
+                if hit is not None:
+                    sc = best[i] + hit[1]
+                    if sc > best[j]:
+                        best[j], back[j] = sc, (i, hit[0])
+            # single-char unknown fallback keeps the lattice connected
+            sc = best[i] + self._unk_score
+            if sc > best[i + 1]:
+                best[i + 1], back[i + 1] = sc, (i, self.unk_token_id)
+        out: list[int] = []
+        j = n
+        while j > 0:
+            i, pid = back[j]
+            out.append(pid)
+            j = i
+        out.reverse()
+        # sentencepiece fuses runs of unknown chars into ONE <unk>
+        fused: list[int] = []
+        for pid in out:
+            if (pid == self.unk_token_id and fused
+                    and fused[-1] == self.unk_token_id):
+                continue
+            fused.append(pid)
+        return fused
+
+    def encode(self, text: str, add_special_tokens: bool = True) -> list[int]:
+        text = unicodedata.normalize("NFKC", text)
+        # SiglipTokenizer.tokenize: explicit ▁ prefix, existing ▁ -> space
+        text = self.SPIECE_UNDERLINE + text.replace(self.SPIECE_UNDERLINE, " ")
+        if self.lowercase:
+            text = text.lower()
+        text = self.canonicalize_text(text)
+        s = text.replace(" ", self.SPIECE_UNDERLINE)
+        ids = self._viterbi(s) if s else []
+        if add_special_tokens:
+            return [*ids, self.eos_token_id]
+        return ids
+
+    def decode(self, ids: Sequence[int]) -> str:
+        specials = {self.eos_token_id, self.pad_token_id}
+        text = "".join(self.decoder[i] for i in ids
+                       if i not in specials and i in self.decoder)
+        return text.replace(self.SPIECE_UNDERLINE, " ").strip()
+
+    # -- batch API (same contract as CLIPTokenizer) -------------------------
+
+    def __call__(
+        self,
+        texts: Union[str, Sequence[str]],
+        max_length: Optional[int] = None,
+        padding: str = "max_length",
+        style: str = "siglip",
+    ) -> dict[str, np.ndarray]:
+        """Fixed-shape int32 arrays; pads with `</s>` per SigLIP convention
+        (model_max_length 64). `style` accepted for interchangeability."""
+        if isinstance(texts, str):
+            texts = [texts]
+        width = max_length or self.max_length
+        if padding != "max_length":
+            width = min(width, max(len(self.encode(t)) for t in texts))
+        n = len(texts)
+        input_ids = np.full((n, width), self.pad_token_id, np.int32)
+        attention_mask = np.zeros((n, width), np.int32)
+        for i, t in enumerate(texts):
+            ids = self.encode(t)
+            if len(ids) > width:
+                ids = ids[:width]
+                ids[-1] = self.eos_token_id
+            input_ids[i, :len(ids)] = ids
+            attention_mask[i, :len(ids)] = 1
+        return {"input_ids": input_ids, "attention_mask": attention_mask}
+
+
+TOKENIZER_FAMILIES = {
+    "clip": CLIPTokenizer,
+    "wordpiece": WordPieceTokenizer,
+    "siglip": SigLIPTokenizer,
+}
+
+
 DEFAULT_VOCAB_CANDIDATES = (
     Path(__file__).resolve().parents[2] / "assets" / "bpe_simple_vocab_16e6.txt.gz",
     Path("/root/reference/src/models/components/denseclip/bpe_simple_vocab_16e6.txt.gz"),
 )
 
 
-def load_default_tokenizer(vocab_path: Optional[Union[str, Path]] = None
-                           ) -> CLIPTokenizer:
+def load_default_tokenizer(vocab_path: Optional[Union[str, Path]] = None,
+                           family: str = "clip"):
+    """Build the configured tokenizer family (the reference's AutoTokenizer
+    seam, basedataset.py:50-69): "clip" BPE (CLIPSeg/CRIS), "siglip"
+    sentencepiece-unigram over a `spiece.model`, "wordpiece" BERT vocab.txt
+    (BiomedCLIP)."""
+    if family != "clip":
+        if vocab_path is None:
+            raise FileNotFoundError(
+                f"tokenizer family {family!r} requires `vocab_path` "
+                "(spiece.model / vocab.txt)")
+        return TOKENIZER_FAMILIES[family](vocab_path)
     if vocab_path is not None:
         return CLIPTokenizer(vocab_path)
     for cand in DEFAULT_VOCAB_CANDIDATES:

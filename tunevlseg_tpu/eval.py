@@ -35,7 +35,8 @@ def main(argv: Optional[list[str]] = None) -> dict:
 
 def _run(cfg: dict) -> dict:
     seed = cfg.get("seed", 0)
-    tokenizer = load_default_tokenizer(cfg.get("vocab_path"))
+    tokenizer = load_default_tokenizer(cfg.get("vocab_path"),
+                                       family=cfg.get("tokenizer_family", "clip"))
     datasets = build_datasets(cfg, tokenizer)
     model, task = build_model_and_task(cfg, tokenizer)
     t = cfg["trainer"]

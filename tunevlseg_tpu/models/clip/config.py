@@ -56,7 +56,11 @@ class CLIPSegConfig:
         """A scaled-down config for fast tests (same topology)."""
         base = dict(
             text=CLIPTextConfig(
-                vocab_size=99, hidden_size=16, num_layers=4, num_heads=2,
+                # REAL vocab: the tiny configs still consume real BPE ids
+                # through the CLI debug hook (+tiny_model=true); a truncated
+                # vocab turns out-of-range embedding gathers into NaN fills
+                # (jnp.take oob default), poisoning every tiny smoke run
+                vocab_size=49408, hidden_size=16, num_layers=4, num_heads=2,
                 intermediate_size=32, max_position_embeddings=77),
             vision=CLIPVisionConfig(
                 hidden_size=24, num_layers=4, num_heads=2, intermediate_size=48,

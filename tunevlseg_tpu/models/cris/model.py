@@ -74,7 +74,9 @@ class CRISConfig:
         # vision_heads follows the vendored formula width*32//64 = 8.
         base = dict(
             vision_layers=(1, 1, 1, 1), vision_width=16, vision_heads=8,
-            image_resolution=64, embed_dim=24, vocab_size=99,
+            # real vocab: tiny models consume real BPE ids via the CLI debug
+            # hook; truncated vocabs NaN-fill out-of-range gathers
+            image_resolution=64, embed_dim=24, vocab_size=49408,
             context_length=77, transformer_width=24, transformer_heads=2,
             transformer_layers=3,
             fpn_in=(128, 256, 24), fpn_out=(16, 24, 32),

@@ -71,6 +71,7 @@ def build_cris(
     use_new_last_layer: bool = True,
     freeze_all: bool = True,
     no_freeze_last_layer: bool = False,
+    freeze_encoder: Optional[bool] = None,
     dtype: Any = jnp.float32,
     learner_overrides: Optional[dict] = None,
     initializer_embeddings=None,
@@ -108,7 +109,10 @@ def build_cris(
         bn_train=bn_train, dtype=dtype)
     spec = FreezeSpec(
         freeze_all=freeze_all if strategy not in (None, "e2e") else False,
-        freeze_encoder=strategy in (None, "e2e"),  # CRIS default: frozen CLIP
+        # CRIS default: frozen CLIP towers (ref cris_model/__init__.py:36,
+        # freeze_encoder=True); overridable for the zss surface
+        freeze_encoder=(strategy in (None, "e2e") if freeze_encoder is None
+                        else freeze_encoder),
         no_freeze_last_layer=no_freeze_last_layer,
         use_new_last_layer=use_new_last_layer and strategy not in (None, "e2e"),
         family="cris")
@@ -123,6 +127,8 @@ def build_clipseg(
     use_new_last_layer: bool = True,
     freeze_all: bool = True,
     no_freeze_last_layer: bool = False,
+    freeze_encoder: Optional[bool] = None,
+    freeze_decoder: bool = False,
     dtype: Any = jnp.float32,
     learner_overrides: Optional[dict] = None,
     initializer_embeddings=None,
@@ -147,6 +153,10 @@ def build_clipseg(
         dtype=dtype)
     spec = FreezeSpec(
         freeze_all=freeze_all if strategy not in (None, "e2e") else False,
+        # zss surface (ref configs/model/clipseg_zss.yaml): stock net with
+        # frozen CLIP towers, trainable decoder
+        freeze_encoder=bool(freeze_encoder),
+        freeze_decoder=freeze_decoder,
         no_freeze_last_layer=no_freeze_last_layer,
         use_new_last_layer=use_new_last_layer and strategy not in (None, "e2e"),
         complex_head=cfg.complex_transposed_convolution)

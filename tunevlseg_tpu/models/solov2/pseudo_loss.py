@@ -161,6 +161,8 @@ def paired_losses(ins_pred: jnp.ndarray,          # (N, H, W) mask logits
                   color_similarity: jnp.ndarray,  # (N, k²-1, H, W)
                   valid: jnp.ndarray,             # (N,) {0,1}
                   *,
+                  level_ids: jnp.ndarray | None = None,  # (N,) int FPN level
+                  num_levels: int = 5,
                   step: jnp.ndarray | int = 0,
                   warmup_iters: int = 1000,
                   pairwise_size: int = 3,
@@ -173,16 +175,43 @@ def paired_losses(ins_pred: jnp.ndarray,          # (N, H, W) mask logits
     per-level lists (invalid rows contribute zero and are excluded from the
     means).  Defaults follow the reference init (solov2.py:139-142,
     ins_loss_weight from the FreeSOLO config).
+
+    Level weighting: the reference averages per-FPN-level — each level's
+    instance mean (and its own weighted pairwise ratio) is computed first,
+    then the level values are averaged.  Pass `level_ids` (the per-instance
+    FPN level, any id < `num_levels`) to reproduce that exactly; levels with
+    no valid instance are excluded from the level mean (they have no
+    prediction tensor upstream, ref solov2.py:432-433).  With
+    `level_ids=None` the losses are GLOBAL means over all valid instances —
+    a deliberate simplification that differs from the reference whenever
+    instances are unevenly distributed across levels (see PARITY.md).
     """
     valid = valid.astype(jnp.float32)
-    n_valid = jnp.maximum(jnp.sum(valid), 1.0)
     scores = jax.nn.sigmoid(ins_pred)
     target = ins_labels.astype(jnp.float32)
+
+    if level_ids is not None:
+        # (N, L) membership, invalid rows zeroed everywhere
+        onehot = (level_ids[:, None] == jnp.arange(num_levels)[None]
+                  ).astype(jnp.float32) * valid[:, None]
+        count = jnp.sum(onehot, axis=0)                       # (L,)
+        present = (count > 0).astype(jnp.float32)
+        n_present = jnp.maximum(jnp.sum(present), 1.0)
+
+        def agg(per_inst):  # (N,) -> per-level mean -> mean over levels
+            lv = jnp.sum(onehot * per_inst[:, None], axis=0) \
+                / jnp.maximum(count, 1.0)
+            return jnp.sum(lv * present) / n_present
+    else:
+        n_valid = jnp.maximum(jnp.sum(valid), 1.0)
+
+        def agg(per_inst):
+            return jnp.sum(per_inst * valid) / n_valid
 
     def proj_pair(reduce):
         y = dice_coefficient(reduce(scores, 1), reduce(target, 1))
         x = dice_coefficient(reduce(scores, 2), reduce(target, 2))
-        return jnp.sum((y + x) * valid) / n_valid
+        return agg(y + x)
 
     loss_ins_max = proj_pair(lambda a, ax: jnp.max(a, axis=ax, keepdims=True))
     loss_ins = proj_pair(lambda a, ax: jnp.mean(a, axis=ax, keepdims=True))
@@ -194,8 +223,18 @@ def paired_losses(ins_pred: jnp.ndarray,          # (N, H, W) mask logits
     weights = ((color_similarity >= pairwise_color_thresh).astype(jnp.float32)
                * box_target[:, None] * valid[:, None, None, None])
     warmup = jnp.minimum(jnp.asarray(step, jnp.float32) / warmup_iters, 1.0)
-    loss_pairwise = (jnp.sum(pairwise * weights)
-                     / jnp.maximum(jnp.sum(weights), 1.0)) * warmup
+    if level_ids is not None:
+        # per-level weighted ratio (denominator clamped per level, ref
+        # solov2.py:470-474), then mean over present levels
+        pw_num = jnp.sum(pairwise * weights, axis=(1, 2, 3))  # (N,)
+        w_sum = jnp.sum(weights, axis=(1, 2, 3))
+        lv_num = jnp.sum(onehot * pw_num[:, None], axis=0)
+        lv_den = jnp.maximum(jnp.sum(onehot * w_sum[:, None], axis=0), 1.0)
+        loss_pairwise = (jnp.sum((lv_num / lv_den) * present)
+                         / n_present) * warmup
+    else:
+        loss_pairwise = (jnp.sum(pairwise * weights)
+                         / jnp.maximum(jnp.sum(weights), 1.0)) * warmup
 
     return {
         "loss_ins": loss_ins * ins_loss_weight * 0.1,

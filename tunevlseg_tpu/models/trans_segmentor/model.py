@@ -82,7 +82,9 @@ class TransSegmentorConfig:
     @staticmethod
     def tiny(**kw) -> "TransSegmentorConfig":
         base = dict(
-            text=CLIPTextConfig(vocab_size=99, hidden_size=16, num_layers=2,
+            # real vocab: tiny models consume real BPE ids via the CLI debug
+            # hook; truncated vocabs NaN-fill out-of-range gathers
+            text=CLIPTextConfig(vocab_size=49408, hidden_size=16, num_layers=2,
                                 num_heads=2, intermediate_size=32),
             vision=CLIPVisionConfig(hidden_size=24, num_layers=2, num_heads=2,
                                     intermediate_size=48, patch_size=16,

@@ -27,10 +27,16 @@ import jax.numpy as jnp
 # _FLASH_MIN_SEQ on TPU — in-jit scanned A/B at the vision shape (b64 s485
 # h12 d64 bf16) measures 2.86ms vs 4.63ms for XLA (scripts/micro_attn.py;
 # e2e bench 14.23 -> 15.14 steps/s). "1" forces it everywhere, "0" disables.
+# "strict" dispatches like "auto" but kernel failures RAISE instead of
+# silently falling back (ops/flash_attention.py:_strict) — used by the TPU
+# test-suite runs. Read at call time so tests can toggle per-case.
 # (An earlier per-launch-synced A/B wrongly concluded the kernel was slower:
 # ~30ms dispatch noise per measurement swamped the ~2ms delta.)
-_USE_FLASH = os.environ.get("TUNEVLSEG_FLASH", "auto")
 _FLASH_MIN_SEQ = 256
+
+
+def _flash_mode() -> str:
+    return os.environ.get("TUNEVLSEG_FLASH", "auto")
 
 
 def xla_attention(
@@ -73,8 +79,9 @@ def dot_product_attention(
     `kv_valid` is the STATIC count of real key/value tokens when the model
     runs with MXU-aligned sequence padding (models/clip/vision.py); both
     paths zero out attention to positions >= kv_valid."""
-    use_flash = _USE_FLASH == "1" or (
-        _USE_FLASH == "auto"
+    mode = _flash_mode()
+    use_flash = mode == "1" or (
+        mode in ("auto", "strict")
         and bias is None  # only the validated batched-heads kernel by default
         and q.shape[1] >= _FLASH_MIN_SEQ
         and q.shape[1] == k.shape[1]

@@ -25,6 +25,7 @@ self-attention with S >= 256 on TPU, XLA otherwise (nn/attention.py).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -32,6 +33,14 @@ import jax.numpy as jnp
 import numpy as np
 
 _INTERPRET = False  # flipped by tests on CPU
+
+
+def _strict() -> bool:
+    """TUNEVLSEG_FLASH=strict: kernel failures RAISE instead of silently
+    falling back to XLA (VERDICT r2 #7 — a masked Mosaic bug in a long run
+    is an invisible perf loss and a lost correctness signal). Read at call
+    time so tests can toggle it."""
+    return os.environ.get("TUNEVLSEG_FLASH", "") == "strict"
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -300,6 +309,8 @@ def _bwd(kv_valid, res, g):
             dq, dk, dv = _backward_batched_heads(q, k, v, g, kv_valid)
             return dq, dk, dv, None
         except Exception:  # Mosaic/VMEM limits -> XLA recompute below
+            if _strict():
+                raise
             pass
     # exact recomputation in XLA (the biased/cross-attention variants)
     def ref_attn(q, k, v, bias):
@@ -328,6 +339,8 @@ def flash_attention(q, k, v, bias: Optional[jnp.ndarray] = None,
     try:
         return flash_attention_p(kv_valid, q, k, v, bias)
     except Exception as e:  # fall back to the XLA path, but say so once
+        if _strict():
+            raise
         if not _warned:
             _warned = True
             import logging

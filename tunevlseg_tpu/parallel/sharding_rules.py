@@ -14,8 +14,10 @@ block:
 
 Nothing in the model code changes — GSPMD propagates these param shardings
 through the jitted step and places the collectives. Leaves whose dimension is
-not divisible by the mesh axis are silently replicated (safety for tiny debug
-configs and odd head counts).
+not divisible by the mesh axis are replicated as a fallback (safety for tiny
+debug configs and odd head counts) — LOUDLY: `tp_param_specs` logs a shard
+report and warns per fallback whenever the model axis is >1, so a user
+requesting tp=N can see exactly what actually sharded (VERDICT r2 #3).
 """
 from __future__ import annotations
 
@@ -26,6 +28,9 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tunevlseg_tpu.parallel.mesh import MODEL_AXIS
+from tunevlseg_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
 
 # column-parallel: shard output features; the matching bias is sharded too.
 _COL = (r"(q_proj|k_proj|v_proj|fc1)")
@@ -48,25 +53,53 @@ def _path_str(path) -> str:
 def tp_param_specs(tree, mesh: Mesh,
                    rules: Sequence[tuple[str, P]] = DEFAULT_TP_RULES):
     """PartitionSpec pytree for `tree`: first matching rule wins; any spec
-    whose sharded dim is not divisible by the mesh axis falls back to P()."""
+    whose sharded dim is not divisible by the mesh axis falls back to P().
+
+    When the mesh's model axis is >1 every fallback is WARNED (with the
+    param path and offending shape) and an aggregate shard report is logged
+    — silent replication under a user-requested tp>1 is a perf bug, not a
+    convenience."""
     compiled = [(re.compile(pat), spec) for pat, spec in rules]
     axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    model_parallel = axis_sizes.get(MODEL_AXIS, 1) > 1
+    sharded, replicated = [], []
+    fallbacks: list[tuple[str, tuple, P]] = []
 
     def pick(path, leaf):
         name = _path_str(path)
         for pat, spec in compiled:
             if pat.match(name):
+                wants_shard = any(ax is not None for ax in spec)
                 if not hasattr(leaf, "shape") or len(spec) > getattr(
                         leaf, "ndim", 0):
+                    if wants_shard:
+                        fallbacks.append((name, getattr(leaf, "shape", ()),
+                                          spec))
+                    else:
+                        replicated.append(name)
                     return P()
                 for dim, axis in enumerate(spec):
                     if axis is not None and (
                             leaf.shape[dim] % axis_sizes[axis] != 0):
+                        fallbacks.append((name, leaf.shape, spec))
                         return P()
+                (sharded if wants_shard else replicated).append(name)
                 return spec
+        replicated.append(name)
         return P()
 
-    return jax.tree_util.tree_map_with_path(pick, tree)
+    specs = jax.tree_util.tree_map_with_path(pick, tree)
+    if model_parallel:
+        for name, shape, spec in fallbacks:
+            log.warning(
+                "tensor-parallel FALLBACK: %s %s not divisible by mesh for "
+                "%s — replicated instead", name, shape, spec)
+        log.info(
+            "tp shard report (model axis %d): %d params sharded, %d "
+            "replicated by rule, %d replicated by FALLBACK",
+            axis_sizes.get(MODEL_AXIS, 1), len(sharded), len(replicated),
+            len(fallbacks))
+    return specs
 
 
 def tp_shardings(tree, mesh: Mesh,

@@ -152,6 +152,7 @@ def build_model_and_task(cfg: dict, tokenizer=None, pretrained=None):
         use_new_last_layer=m.get("use_new_last_layer", True),
         freeze_all=m.get("freeze_all", True),
         no_freeze_last_layer=m.get("no_freeze_last_layer", False),
+        freeze_encoder=m.get("freeze_encoder"),  # zss: frozen towers
         dtype=dtype,
         learner_overrides=m.get("learner"),
         initializer_embeddings=init_emb,
@@ -161,7 +162,9 @@ def build_model_and_task(cfg: dict, tokenizer=None, pretrained=None):
         if cfg.get("tiny_model"):  # test/debug hook
             from tunevlseg_tpu.models.clip.config import CLIPSegConfig
             config = CLIPSegConfig.tiny()
-        model, spec = build_clipseg(config=config, **common)
+        model, spec = build_clipseg(config=config,
+                                    freeze_decoder=m.get("freeze_decoder",
+                                                         False), **common)
     elif family == "cris":
         from tunevlseg_tpu.models.presets import build_cris, cris_rn50_config
         config = cris_rn50_config(cfg.get("img_size", 416))
@@ -280,7 +283,8 @@ def _run(cfg: dict) -> dict:
         jax.config.update("jax_debug_nans", True)
 
     seed = cfg.get("seed", 0)
-    tokenizer = load_default_tokenizer(cfg.get("vocab_path"))
+    tokenizer = load_default_tokenizer(cfg.get("vocab_path"),
+                                       family=cfg.get("tokenizer_family", "clip"))
     datasets = build_datasets(cfg, tokenizer)
     loaded = load_pretrained(cfg)
     model, task = build_model_and_task(cfg, tokenizer, pretrained=loaded)

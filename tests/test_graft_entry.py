@@ -19,7 +19,7 @@ sys.path.insert(0, REPO)
 def test_dryrun_impl_in_process():
     import __graft_entry__ as g
 
-    g._dryrun_multichip_impl(8)
+    g._dryrun_multichip_impl(8, full=False)
 
 
 @pytest.mark.slow
@@ -28,6 +28,7 @@ def test_dryrun_wrapper_subprocess(tmp_path):
     # must still self-provision the CPU mesh in its child process.
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "nonexistent-platform"
+    env["TUNEVLSEG_DRYRUN_TINY"] = "1"  # driver runs full rd64; tests tiny
     code = ("import sys; sys.path.insert(0, %r)\n"
             "import __graft_entry__ as g\n"
             "g.dryrun_multichip(8)\n" % REPO)

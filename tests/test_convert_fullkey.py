@@ -1,0 +1,260 @@
+"""Full-key converter fixtures (VERDICT r2 #5).
+
+The converters were previously exercised only on tiny random state dicts;
+nothing proved they consume the EXACT key sets of the real checkpoints
+(CIDAS/clipseg-rd64 safetensors, OpenAI CLIP RN50.pt, FreeSOLO_R101_30k.pt).
+Network is absent, so each test GENERATES the full-architecture random torch
+state dict with the real key set:
+
+  * HF `CLIPSegForImageSegmentation` at the rd64 config — the same class
+    whose `from_pretrained` produces the CIDAS checkpoint keys;
+  * the reference's vendored `clip.CLIP` at RN50 hyperparameters — the
+    exact module `build_model` reconstructs from RN50.pt
+    (ref cris_model/clip.py:578-646);
+  * the reference `PseudoSOLOv2` at the FreeSOLO R101 config — the module
+    whose state dict IS FreeSOLO_R101_30k.pt's "model" payload.
+
+Each test asserts (a) zero UNUSED source keys (a tracking dict records
+every access; buffers the converter legitimately ignores are listed
+explicitly), (b) zero missing/extra leaves vs our flax init (exact
+flattened-path + shape match), and for CLIPSeg (c) logit parity at the
+full config. Real-weight day becomes a file-path change.
+"""
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+from flax import traverse_util
+
+from tests.reference_oracle import reference_available, setup_solov2_imports
+from tunevlseg_tpu.convert.clipseg import (config_from_hf, convert_hf_clipseg,
+                                           torch_state_dict_to_numpy)
+
+pytestmark = pytest.mark.skipif(not reference_available(),
+                                reason="reference repo not mounted")
+
+
+class TrackingDict(dict):
+    """Records every key actually read by a converter."""
+
+    def __init__(self, base):
+        super().__init__(base)
+        self.accessed: set[str] = set()
+
+    def __getitem__(self, k):
+        self.accessed.add(k)
+        return super().__getitem__(k)
+
+    def get(self, k, default=None):
+        if k in self:
+            self.accessed.add(k)
+        return super().get(k, default)
+
+
+def flat_paths(tree) -> dict[str, tuple]:
+    return {"/".join(map(str, k)): tuple(np.shape(v))
+            for k, v in traverse_util.flatten_dict(tree).items()}
+
+
+def assert_same_tree(converted, initialized, context: str,
+                     elided=lambda path: False):
+    """Zero missing leaves; extras only where the TPU model elides tensors
+    BY DESIGN (`elided` predicate) — task.init prunes those at load time."""
+    got, exp = flat_paths(converted), flat_paths(initialized)
+    missing = sorted(set(exp) - set(got))
+    extra = sorted(k for k in set(got) - set(exp) if not elided(k))
+    assert not missing, f"{context}: converter MISSING {missing[:10]}"
+    assert not extra, f"{context}: converter produced EXTRA {extra[:10]}"
+    mismatched = [k for k in exp if got[k] != exp[k]]
+    assert not mismatched, (
+        f"{context}: shape mismatch {[(k, got[k], exp[k]) for k in mismatched[:5]]}")
+
+
+# ---------------------------------------------------------------------------
+# 1. HF CLIPSeg rd64 (the CIDAS/clipseg-rd64 key set)
+# ---------------------------------------------------------------------------
+
+
+def test_clipseg_rd64_fullkey_and_parity():
+    import transformers
+
+    from tunevlseg_tpu.models.clipseg.model import CLIPSegForSegmentation
+    from tunevlseg_tpu.models.presets import clipseg_rd64_config
+
+    # the CIDAS checkpoints keep the CLIP pretraining grid (224 -> 197
+    # positions; 352 inputs interpolate at runtime) and the legacy
+    # eos_token_id=2 argmax pooling branch
+    hf_cfg = transformers.CLIPSegConfig(
+        text_config=dict(eos_token_id=2),
+        vision_config=dict(patch_size=16, image_size=224),
+        extract_layers=[3, 6, 9], reduce_dim=64,
+        decoder_num_attention_heads=4, decoder_intermediate_size=2048,
+        conditional_layer=0, use_complex_transposed_convolution=False)
+    ours_cfg = config_from_hf(hf_cfg)
+    assert ours_cfg == clipseg_rd64_config(), (
+        "config_from_hf must reproduce the canonical rd64 config")
+
+    torch.manual_seed(0)
+    hf = transformers.CLIPSegForImageSegmentation(hf_cfg).double().eval()
+    sd = TrackingDict(torch_state_dict_to_numpy(hf.state_dict()))
+
+    params = convert_hf_clipseg(sd, ours_cfg)
+
+    # (a) every checkpoint tensor consumed, except the documented ignores
+    ignorable = {k for k in sd
+                 if k.endswith("position_ids")        # non-param buffer
+                 or k == "clip.logit_scale"}          # contrastive-only head
+    unused = set(sd) - sd.accessed - ignorable
+    assert not unused, f"unconsumed checkpoint keys: {sorted(unused)[:10]}"
+
+    # (b) exact structural match with a fresh flax init
+    model = CLIPSegForSegmentation(ours_cfg)
+    ids = jnp.ones((1, 77), jnp.int32)
+    pix = jnp.zeros((1, 3, 352, 352), jnp.float32)
+    init = model.init(jax.random.PRNGKey(0), ids, pix, jnp.ones_like(ids))
+
+    # the TPU model elides vision tensors the segmentation forward never
+    # touches: layers past max(extract_layers)=9, the post-layernorm/pooled
+    # path, and visual_projection (only FiLM from the TEXT embedding feeds
+    # the decoder). task.init drops these converted tensors with a log line.
+    def elided(path: str) -> bool:
+        if path.startswith("visual_projection/"):
+            return True
+        if path.startswith("vision_model/post_layernorm"):
+            return True
+        if path.startswith("vision_model/layers_"):
+            layer = int(path.split("/")[1].split("_")[1])
+            return layer > max(ours_cfg.extract_layers)
+        return False
+
+    assert_same_tree(params, init["params"], "clipseg rd64", elided)
+
+    # and the load path prunes exactly those (no dead weights to HBM)
+    from tunevlseg_tpu.training.optim import FreezeSpec
+    from tunevlseg_tpu.training.task import SegmentationTask
+    task = SegmentationTask(model, FreezeSpec(freeze_all=False))
+    batch = {"image": np.zeros((1, 3, 64, 64), np.uint8),
+             "mask": np.zeros((1, 1, 64, 64), np.float32),
+             "input_ids": np.asarray(jnp.ones((1, 77), jnp.int32)),
+             "attention_mask": np.ones((1, 77), np.int32)}
+    state, frozen = task.init(jax.random.PRNGKey(0), batch, params=params)
+    from tunevlseg_tpu.training.optim import merge_params
+    merged = merge_params(state.trainable, frozen["params"])
+    assert flat_paths(merged).keys() == flat_paths(init["params"]).keys()
+
+    # (c) logit parity at the FULL config (f64 oracle vs our f32)
+    rng = np.random.default_rng(0)
+    pix_np = rng.normal(size=(1, 3, 352, 352)).astype(np.float32)
+    ids_np = rng.integers(3, 49000, size=(1, 77)).astype(np.int32)
+    ids_np[:, 0] = 49406
+    ids_np[:, 20:] = 49407
+    mask_np = (ids_np != 49407).astype(np.int32)
+    mask_np[:, 20] = 1  # first EOS is a real token in HF masks
+    # f64 default dtype so HF mask helpers (`torch.full(..., finfo.min)`)
+    # don't overflow — same trick as reference_oracle.run_reference
+    prev_dtype = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        with torch.no_grad():
+            ref = hf(input_ids=torch.tensor(ids_np.astype(np.int64)),
+                     pixel_values=torch.tensor(pix_np, dtype=torch.float64),
+                     attention_mask=torch.tensor(mask_np.astype(np.int64))
+                     ).logits.numpy()
+    finally:
+        torch.set_default_dtype(prev_dtype)
+    got = model.apply({"params": params}, jnp.asarray(ids_np),
+                      jnp.asarray(pix_np), jnp.asarray(mask_np))
+    got = np.asarray(got, np.float64).reshape(ref.shape)
+    assert np.max(np.abs(got - ref)) < 5e-3, np.max(np.abs(got - ref))
+
+
+# ---------------------------------------------------------------------------
+# 2. OpenAI CLIP RN50 (the RN50.pt build_model key set)
+# ---------------------------------------------------------------------------
+
+
+def test_clip_rn50_fullkey():
+    import sys
+
+    from tests.reference_oracle import REFERENCE
+    if str(REFERENCE) not in sys.path:
+        sys.path.insert(0, str(REFERENCE))
+    from src.models.components.cris_model.clip import CLIP
+
+    from tunevlseg_tpu.convert.cris import (config_from_clip_state_dict,
+                                            convert_clip_backbone)
+    from tunevlseg_tpu.models.cris.model import CRISForSegmentation
+
+    torch.manual_seed(0)
+    # RN50 hyperparameters — what build_model infers from the real RN50.pt
+    clip = CLIP(1024, 224, (3, 4, 6, 3), 64, None, 77, 49408, 512, 8, 12)
+    sd = TrackingDict(torch_state_dict_to_numpy(clip.state_dict()))
+
+    # shape-inference parity with build_model (clip.py:578-646)
+    cfg = config_from_clip_state_dict(sd)
+    assert cfg.vision_layers == (3, 4, 6, 3)
+    assert cfg.vision_width == 64
+    assert cfg.embed_dim == 1024
+    assert cfg.image_resolution == 224
+    assert (cfg.transformer_width, cfg.transformer_heads,
+            cfg.transformer_layers) == (512, 8, 12)
+    assert cfg.vocab_size == 49408 and cfg.context_length == 77
+
+    import dataclasses
+
+    from tunevlseg_tpu.convert.clipseg import _Tree
+    cfg = dataclasses.replace(cfg, img_size=224)
+    params, state = _Tree(), _Tree()
+    convert_clip_backbone(sd, cfg, params, state)
+
+    ignorable = {k for k in sd
+                 if k.endswith("num_batches_tracked")  # BN step counters
+                 or k == "logit_scale"}                # contrastive-only
+    unused = set(sd) - sd.accessed - ignorable
+    assert not unused, f"unconsumed RN50 keys: {sorted(unused)[:10]}"
+
+    # structural match on the tower subtrees of a fresh full-size init
+    model = CRISForSegmentation(cfg)
+    ids = jnp.ones((1, 77), jnp.int32)
+    pix = jnp.zeros((1, 3, 224, 224), jnp.float32)
+    init = model.init(jax.random.PRNGKey(0), ids, pix, jnp.ones_like(ids))
+    for tower in ("visual", "text"):
+        assert_same_tree(params[tower], init["params"][tower],
+                         f"rn50 {tower} params")
+        if tower in state and tower in init.get("batch_stats", {}):
+            assert_same_tree(state[tower], init["batch_stats"][tower],
+                             f"rn50 {tower} batch_stats")
+
+
+# ---------------------------------------------------------------------------
+# 3. FreeSOLO R101 (the FreeSOLO_R101_30k.pt key set)
+# ---------------------------------------------------------------------------
+
+
+def test_freesolo_r101_fullkey():
+    assert setup_solov2_imports()
+    from src.models.core_models.solov2 import PseudoSOLOv2
+
+    from tests.test_zero_shot_ris import tiny_solo_torch_cfg
+    from tunevlseg_tpu.convert.solov2 import convert_solov2
+    from tunevlseg_tpu.models.solov2.model import SOLOv2, SOLOv2Config
+
+    cfg = SOLOv2Config()  # full FreeSOLO R101 defaults (zsseg.yaml)
+    torch.manual_seed(0)
+    ref = PseudoSOLOv2(tiny_solo_torch_cfg(cfg, cfg.score_threshold)).eval()
+    sd = TrackingDict(torch_state_dict_to_numpy(ref.state_dict()))
+
+    params = convert_solov2(sd, cfg)
+
+    ignorable = {k for k in sd
+                 if k in ("pixel_mean", "pixel_std")   # d2 normalizer buffers
+                 or k.endswith("_iter")}               # pseudo-loss warmup ctr
+    unused = set(sd) - sd.accessed - ignorable
+    assert not unused, f"unconsumed FreeSOLO keys: {sorted(unused)[:10]}"
+
+    model = SOLOv2(cfg)
+    img = jnp.zeros((1, 3, 64, 64), jnp.float32)
+    init = model.init(jax.random.PRNGKey(0), img)
+    assert_same_tree(params, init["params"], "freesolo r101")

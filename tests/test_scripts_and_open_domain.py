@@ -132,6 +132,53 @@ def test_refcoco_dataset(tmp_path):
     assert item["prompt"] == "a photo of the left dog."
 
 
+def test_optional_logger_backends(tmp_path, monkeypatch):
+    """mlflow/neptune/comet/aim (configs/logger/*.yaml, VERDICT r2 #10):
+    absent packages degrade with a warning; an installable one (stubbed
+    mlflow here) round-trips metrics + hparams + close."""
+    import sys
+    import types
+
+    from tunevlseg_tpu.utils.logging import MANY_LOGGERS, MultiLogger
+
+    calls = {"metrics": [], "params": [], "ended": 0}
+    stub = types.ModuleType("mlflow")
+    stub.set_tracking_uri = lambda uri: calls.setdefault("uri", uri)
+    stub.set_experiment = lambda name: calls.setdefault("exp", name)
+    stub.start_run = lambda run_name=None: calls.setdefault("run", run_name)
+    stub.set_tags = lambda tags: calls.setdefault("tags", tags)
+    stub.log_metrics = lambda m, step=None: calls["metrics"].append((m, step))
+    stub.log_params = lambda p: calls["params"].append(p)
+    stub.end_run = lambda: calls.__setitem__("ended", calls["ended"] + 1)
+    monkeypatch.setitem(sys.modules, "mlflow", stub)
+
+    # neptune/comet/aim are NOT installed -> warning + graceful skip
+    ml = MultiLogger(tmp_path, backends=("jsonl", "mlflow", "neptune",
+                                         "comet", "aim"),
+                     project="proj", exp_name="run1", tags=("t1",))
+    assert len(ml._extra) == 1  # only the stubbed mlflow constructed
+    ml.log_hyperparams({"model": "clipseg"}, extras={"n": 1})
+    ml.log({"loss": 0.5}, step=3)
+    ml.close()
+    assert calls["exp"] == "proj" and calls["run"] == "run1"
+    assert calls["metrics"] == [({"loss": 0.5}, 3)]
+    assert calls["params"] and calls["ended"] == 1
+
+    # a backend that explodes mid-run must not take down training
+    class Boom:
+        def log(self, record, step):
+            raise RuntimeError("backend down")
+
+    ml2 = MultiLogger(tmp_path, backends=("jsonl",))
+    ml2._extra.append(Boom())
+    ml2.log({"loss": 1.0}, step=1)  # no raise
+
+    # many_loggers expands to the offline-safe set
+    ml3 = MultiLogger(tmp_path, backends=("many_loggers",))
+    assert set(MANY_LOGGERS) <= set(ml3.backends)
+    ml3.close()
+
+
 def test_multi_logger_backends(tmp_path):
     import json as _json
 

@@ -297,6 +297,14 @@ def test_zero_shot_ris_end_to_end(tmp_path):
     out2 = ris_cached(image, ids, mask, cache_name="sample0.png")
     np.testing.assert_array_equal(out1, out2)
 
+    # fused single-launch path (alpha=1): identical selection to the host
+    # loop at alpha=1 (the crop branch is off in both)
+    ris_a1 = ZeroShotRIS(clip_cfg, solo_cfg, clip_params, solo_params,
+                         clip_image_size=32, alpha=1.0)
+    ref = ris_a1(image, ids, mask)
+    fused = ris_a1.predict_fused(image, ids, mask)
+    np.testing.assert_array_equal(fused, ref)
+
 
 def test_eval_zeroshot_cli(tmp_path):
     """The zero-shot eval driver end-to-end on synthetic data (tiny models,

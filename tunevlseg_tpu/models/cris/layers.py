@@ -152,7 +152,8 @@ class MHA(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, q, k, v, key_pad_bias: Optional[jnp.ndarray] = None):
+    def __call__(self, q, k, v, key_pad_bias: Optional[jnp.ndarray] = None,
+                 kv_valid: Optional[int] = None):
         d = q.shape[-1]
         hd = d // self.num_heads
         dense = lambda name: nn.Dense(d, dtype=self.dtype, name=name)
@@ -161,7 +162,7 @@ class MHA(nn.Module):
         vh = dense("v_proj")(v)
         split = lambda t: t.reshape(*t.shape[:-1], self.num_heads, hd)
         out = dot_product_attention(split(qh), split(kh), split(vh),
-                                    bias=key_pad_bias)
+                                    bias=key_pad_bias, kv_valid=kv_valid)
         out = out.reshape(*q.shape[:-1], d)
         return dense("out_proj")(out)
 
@@ -179,14 +180,18 @@ class CRISDecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, vis, txt, vis_pos, txt_pos, key_pad_bias,
-                 deterministic: bool = True):
+                 deterministic: bool = True,
+                 kv_valid: Optional[int] = None):
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
         drop = lambda h: nn.Dropout(self.dropout,
                                     deterministic=deterministic)(h)
-        # self-attention over visual tokens
+        # self-attention over visual tokens; under MXU seq padding the
+        # padded rows ride the GEMMs but are masked out of the keys
+        # (static kv_valid, same contract as models/clip/vision.py)
         v2 = ln("norm1")(vis)
         qk = v2 + vis_pos
-        v2 = MHA(self.num_heads, self.dtype, name="self_attn")(qk, qk, v2)
+        v2 = MHA(self.num_heads, self.dtype, name="self_attn")(
+            qk, qk, v2, kv_valid=kv_valid)
         v2 = ln("self_attn_norm")(v2)
         vis = vis + drop(v2)
         # cross-attention into text
@@ -217,6 +222,8 @@ class CRISTransformerDecoder(nn.Module):
                  pad_mask: jnp.ndarray, deterministic: bool = True):
         """fq (B,C,H,W), txt (B,L,D), pad_mask (B,L) True=pad.
         Returns (B,C,H,W)."""
+        from tunevlseg_tpu.models.clip.vision import decoder_padded_len
+
         b, c, h, w = fq.shape
         l = txt.shape[1]
         vis_pos = jnp.asarray(sincos_pos_2d(c, h, w))[None]
@@ -225,12 +232,26 @@ class CRISTransformerDecoder(nn.Module):
                                  )[:, None, None, :]
 
         vis = fq.reshape(b, c, h * w).transpose(0, 2, 1)
+        # MXU seq padding: 676 visual tokens at img 416 leave every per-token
+        # GEMM on ragged row tiles; run the decoder at the next 64-aligned
+        # length (704), mask padded keys in self-attn, slice off at the end —
+        # numerically identical (same contract as models/clip/vision.py)
+        s_real = h * w
+        s_run = decoder_padded_len(s_real)
+        kv_valid = None
+        if s_run is not None:
+            vis = jnp.pad(vis, ((0, 0), (0, s_run - s_real), (0, 0)))
+            vis_pos = jnp.pad(vis_pos,
+                              ((0, 0), (0, s_run - s_real), (0, 0)))
+            kv_valid = s_real
         for i in range(self.num_layers):
             vis = CRISDecoderLayer(
                 self.d_model, self.num_heads, self.dim_feedforward,
                 self.dropout, dtype=self.dtype, name=f"layers_{i}")(
                     vis, txt, vis_pos.astype(vis.dtype),
-                    txt_pos.astype(vis.dtype), key_pad_bias, deterministic)
+                    txt_pos.astype(vis.dtype), key_pad_bias, deterministic,
+                    kv_valid=kv_valid)
+        vis = vis[:, :s_real]
         vis = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(vis)
         return vis.transpose(0, 2, 1).reshape(b, c, h, w)
 

@@ -127,6 +127,8 @@ class ZeroShotRIS:
             self.cache_dir.mkdir(parents=True, exist_ok=True)
         self._jit_solo = jax.jit(self._solo_forward,
                                  static_argnames=("ori_hw",))
+        self._jit_fused = jax.jit(self._fused_forward,
+                                  static_argnames=("ori_hw",))
 
     # ---- FreeSOLO proposals ------------------------------------------------
 
@@ -160,11 +162,13 @@ class ZeroShotRIS:
         resized = resize_2d(jnp.asarray(image)[None], (size, size), "bicubic")
         grid = size // self.clip_config.vision.patch_size
         # NEAREST_EXACT mask downsample (half-pixel centers)
-        rows = _resize_matrix(masks.shape[-2], grid, "nearest")
-        cols = _resize_matrix(masks.shape[-1], grid, "nearest")
-        small = np.einsum("gh,phw,kw->pgk", rows, masks.astype(np.float32),
-                          cols)
-        small = (small > 0.5).astype(np.float32)
+        rows = jnp.asarray(_resize_matrix(masks.shape[-2], grid, "nearest"))
+        cols = jnp.asarray(_resize_matrix(masks.shape[-1], grid, "nearest"))
+        # two small matmuls on DEVICE — the previous host einsum was ~3
+        # GFLOP/image of numpy on the driving core
+        small = jnp.einsum("gh,phw,kw->pgk", rows,
+                           jnp.asarray(masks, jnp.float32), cols)
+        small = (small > 0.5).astype(jnp.float32)
         return self.clip.apply(
             {"params": self.clip_params}, jnp.asarray(resized),
             jnp.asarray(small), self.masking_block_idx,
@@ -234,6 +238,55 @@ class ZeroShotRIS:
         return self.beta * phrase + (1 - self.beta) * classname
 
     # ---- end to end --------------------------------------------------------
+
+    # ---- fused single-launch path (alpha == 1) -----------------------------
+
+    def _fused_forward(self, solo_params, clip_params, image, input_ids,
+                       attention_mask, ori_hw):
+        """The whole alpha=1 pipeline in ONE executable: proposals →
+        device mask-downsample → masked-CLIP → text ensemble → cosine
+        argmax → selected mask. On the axon transport each extra launch
+        costs ~30ms of dispatch; the host loop spends 3-4 launches per
+        image — this path spends one."""
+        masks, boxes, scores, embs, valid = self._solo_forward(
+            solo_params, image, ori_hw)
+        size = self.clip_image_size
+        resized = resize_2d(image[None], (size, size), "bicubic")
+        grid = size // self.clip_config.vision.patch_size
+        rows = jnp.asarray(_resize_matrix(ori_hw[0], grid, "nearest"))
+        cols = jnp.asarray(_resize_matrix(ori_hw[1], grid, "nearest"))
+        small = jnp.einsum("gh,phw,kw->pgk", rows,
+                           masks.astype(jnp.float32), cols)
+        small = (small > 0.5).astype(jnp.float32)
+        visual = self.clip.apply(
+            {"params": clip_params}, resized, small, self.masking_block_idx,
+            method=self.clip.get_image_features)
+        feats = self.clip.apply(
+            {"params": clip_params}, input_ids, attention_mask,
+            method=self.clip.get_text_features)
+        text = self.beta * feats[0] + (1 - self.beta) * feats[1]
+        v = visual / jnp.linalg.norm(visual, axis=-1, keepdims=True)
+        t = text / jnp.linalg.norm(text, axis=-1)
+        sims = jnp.where(valid.astype(bool), jnp.dot(v, t), -jnp.inf)
+        if self.num_masks == 1:
+            idx = jnp.argmax(sims)[None]
+        else:
+            idx = jax.lax.top_k(sims, self.num_masks)[1]
+        picked = jnp.take(masks, idx, axis=0)[:, None].astype(jnp.float32)
+        # zero-proposal contract: all-invalid -> zero mask (__call__ parity)
+        return jnp.where(jnp.any(valid.astype(bool)), picked,
+                         jnp.zeros_like(picked))
+
+    def predict_fused(self, image: np.ndarray, input_ids: np.ndarray,
+                      attention_mask: np.ndarray,
+                      cache_name: Optional[str] = None) -> np.ndarray:
+        """Single-launch variant of __call__; requires alpha == 1 (the crop
+        branch is host-side by nature). Ignores the npz cache."""
+        assert self.alpha == 1.0, "predict_fused requires alpha=1 (no crops)"
+        ori_hw = tuple(image.shape[-2:])
+        return np.asarray(self._jit_fused(
+            self.solo_params, self.clip_params, jnp.asarray(image),
+            jnp.asarray(input_ids), jnp.asarray(attention_mask), ori_hw))
 
     def __call__(self, image: np.ndarray, input_ids: np.ndarray,
                  attention_mask: np.ndarray,

@@ -94,6 +94,21 @@ class SegmentationTask:
         if params is None:
             params = random_params
         else:
+            # converted checkpoints may carry tensors the TPU model elides
+            # by design (e.g. HF CLIPSeg vision layers past max(extract_
+            # layers), visual_projection — never used by the segmentation
+            # forward): drop them instead of hauling dead weights to HBM
+            from flax import traverse_util
+            flat_r = traverse_util.flatten_dict(dict(random_params))
+            flat_p = traverse_util.flatten_dict(dict(params))
+            dropped = [k for k in flat_p if k not in flat_r]
+            if dropped:
+                import logging
+                logging.getLogger("tunevlseg").info(
+                    "dropping %d checkpoint tensors the model elides "
+                    "(e.g. %s)", len(dropped), "/".join(dropped[0]))
+                flat_p = {k: v for k, v in flat_p.items() if k in flat_r}
+                params = traverse_util.unflatten_dict(flat_p)
             params = deep_merge(dict(random_params), params)
         if variables:
             init_vars = deep_merge(dict(init_vars), dict(variables))

@@ -62,15 +62,122 @@ class MetricLogger:
         self.logger.info(pretty)
 
 
+class _MLflowBackend:
+    """configs/logger/mlflow.yaml: file tracking URI under log_dir."""
+
+    def __init__(self, output_dir, project, exp_name, tags):
+        import mlflow
+        self._m = mlflow
+        uri = Path(output_dir or ".") / "mlflow" / "mlruns"
+        mlflow.set_tracking_uri(f"file:{uri}")
+        mlflow.set_experiment(project or "tunevlseg")
+        self._run = mlflow.start_run(run_name=exp_name)
+        if tags:
+            mlflow.set_tags({t: 1 for t in tags})
+
+    def log(self, record, step):
+        self._m.log_metrics({k: v for k, v in record.items()
+                             if isinstance(v, (int, float)) and k != "step"},
+                            step=step)
+
+    def log_hyperparams(self, payload):
+        flat = {k: str(v)[:250] for k, v in payload.get("cfg", {}).items()}
+        self._m.log_params(flat)
+
+    def close(self):
+        self._m.end_run()
+
+
+class _NeptuneBackend:
+    """configs/logger/neptune.yaml: api token from NEPTUNE_API_TOKEN."""
+
+    def __init__(self, output_dir, project, exp_name, tags):
+        import neptune
+        self._run = neptune.init_run(project=project, name=exp_name,
+                                     tags=list(tags))
+
+    def log(self, record, step):
+        for k, v in record.items():
+            if isinstance(v, (int, float)) and k != "step":
+                self._run[k].append(v, step=step)
+
+    def log_hyperparams(self, payload):
+        self._run["hparams"] = {k: str(v) for k, v
+                                in payload.get("cfg", {}).items()}
+
+    def close(self):
+        self._run.stop()
+
+
+class _CometBackend:
+    """configs/logger/comet.yaml: api key from COMET_API_TOKEN."""
+
+    def __init__(self, output_dir, project, exp_name, tags):
+        from comet_ml import Experiment
+        self._exp = Experiment(project_name=project)
+        if exp_name:
+            self._exp.set_name(exp_name)
+        for t in tags:
+            self._exp.add_tag(str(t))
+
+    def log(self, record, step):
+        self._exp.log_metrics({k: v for k, v in record.items()
+                               if isinstance(v, (int, float))}, step=step)
+
+    def log_hyperparams(self, payload):
+        self._exp.log_parameters(payload.get("cfg", {}))
+
+    def close(self):
+        self._exp.end()
+
+
+class _AimBackend:
+    """configs/logger/aim.yaml: .aim repo under the output dir."""
+
+    def __init__(self, output_dir, project, exp_name, tags):
+        from aim import Run
+        self._run = Run(repo=str(output_dir or "."),
+                        experiment=project or "default")
+        for t in tags:
+            self._run.add_tag(str(t))
+
+    def log(self, record, step):
+        for k, v in record.items():
+            if isinstance(v, (int, float)) and k != "step":
+                self._run.track(v, name=k, step=step)
+
+    def log_hyperparams(self, payload):
+        self._run["hparams"] = {k: str(v) for k, v
+                                in payload.get("cfg", {}).items()}
+
+    def close(self):
+        self._run.close()
+
+
+# import-gated optional backends (reference configs/logger/*.yaml); absent
+# packages degrade to a warning at construction time
+OPTIONAL_BACKENDS = {
+    "mlflow": _MLflowBackend,
+    "neptune": _NeptuneBackend,
+    "comet": _CometBackend,
+    "aim": _AimBackend,
+}
+
+# configs/logger/many_loggers.yaml: every offline-safe backend at once
+MANY_LOGGERS = ("jsonl", "csv", "tensorboard", "wandb")
+
+
 class MultiLogger(MetricLogger):
     """Fan-out logger — the reference's Lightning logger zoo
-    (configs/logger/*: csv/tensorboard/wandb/many_loggers) reduced to the
-    backends that make sense offline:
+    (configs/logger/*: csv/tensorboard/wandb/mlflow/neptune/comet/aim/
+    many_loggers):
 
       * "jsonl"        — native stream (always useful, default)
       * "csv"          — Lightning CSVLogger-style metrics.csv
       * "tensorboard"  — torch.utils.tensorboard SummaryWriter (in-image)
-      * "wandb"        — gated import; silently skipped when not installed
+      * "wandb"/"mlflow"/"neptune"/"comet"/"aim" — gated imports; absent
+        packages degrade with a warning
+      * "many_loggers" — expands to every offline-safe backend
 
     `log_images` replaces the wandb val table the reference logs on
     validation step 0 (image_text_mask_module.py:171-199)."""
@@ -82,7 +189,19 @@ class MultiLogger(MetricLogger):
                  exp_name: Optional[str] = None,
                  tags: tuple = ()):
         super().__init__(output_dir, name)
+        if "many_loggers" in backends:
+            backends = tuple(b for b in backends if b != "many_loggers")
+            backends += tuple(b for b in MANY_LOGGERS if b not in backends)
         self.backends = tuple(backends)
+        self._extra = []
+        for bname in self.backends:
+            cls = OPTIONAL_BACKENDS.get(bname)
+            if cls is None:
+                continue
+            try:
+                self._extra.append(cls(output_dir, project, exp_name, tags))
+            except Exception as e:
+                self.logger.warning("%s logger unavailable: %s", bname, e)
         self._rows: list[dict] = []
         self._csv_path = (Path(output_dir) / f"{name}.csv"
                           if output_dir and "csv" in self.backends else None)
@@ -121,6 +240,12 @@ class MultiLogger(MetricLogger):
                                                    default=str) + "\n```")
         if self._wandb is not None:  # pragma: no cover
             self._wandb.config.update(payload, allow_val_change=True)
+        for b in self._extra:
+            try:
+                b.log_hyperparams(payload)
+            except Exception as e:
+                self.logger.warning("%s log_hyperparams failed: %s",
+                                    type(b).__name__, e)
 
     def log(self, metrics: Mapping[str, Any], step: int,
             prefix: str = "") -> None:
@@ -146,6 +271,11 @@ class MultiLogger(MetricLogger):
                     self._tb.add_scalar(k, v, step)
         if self._wandb is not None:  # pragma: no cover
             self._wandb.log(record, step=step)
+        for b in self._extra:
+            try:
+                b.log(record, step)
+            except Exception as e:
+                self.logger.warning("%s log failed: %s", type(b).__name__, e)
 
     def log_images(self, tag: str, images, step: int = 0,
                    captions: Optional[list] = None) -> None:
@@ -187,3 +317,8 @@ class MultiLogger(MetricLogger):
             self._tb.close()
         if self._wandb is not None:  # pragma: no cover
             self._wandb.finish()
+        for b in self._extra:
+            try:
+                b.close()
+            except Exception as e:
+                self.logger.warning("%s close failed: %s", type(b).__name__, e)

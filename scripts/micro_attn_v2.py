@@ -42,7 +42,8 @@ def _ceil_to(x, m):
     return (x + m - 1) // m * m
 
 
-def batched_heads(q, k, v, kv_valid=None, use_exp2=False, skip_max=False):
+def batched_heads(q, k, v, kv_valid=None, use_exp2=False, skip_max=False,
+                  gemm_only=False, force_hg=None, arbitrary=False):
     """Parametrized copy of ops/flash_attention._forward_batched_heads."""
     b, s, h, d = q.shape
     t = k.shape[1] if kv_valid is None else kv_valid
@@ -56,11 +57,13 @@ def batched_heads(q, k, v, kv_valid=None, use_exp2=False, skip_max=False):
 
     qf, kf, vf = prep(q, s_pad), prep(k, t_pad), prep(v, t_pad)
 
-    hg = 1
-    for cand in (4, 3, 2):
-        if h % cand == 0 and cand * s_pad * t_pad * 4 * 2 < 8 * 2 ** 20:
-            hg = cand
-            break
+    hg = force_hg
+    if hg is None:
+        hg = 1
+        for cand in (4, 3, 2):
+            if h % cand == 0 and cand * s_pad * t_pad * 4 * 2 < 8 * 2 ** 20:
+                hg = cand
+                break
 
     def kernel(q_ref, k_ref, v_ref, o_ref):
         for head in range(hg):
@@ -71,20 +74,29 @@ def batched_heads(q, k, v, kv_valid=None, use_exp2=False, skip_max=False):
             scores = jax.lax.dot_general(
                 qh, kh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * eff_scale
-            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-            scores = jnp.where(col < t, scores, -jnp.inf)
-            if skip_max:
-                p = jnp.exp2(scores) if use_exp2 else jnp.exp(scores)
+            if gemm_only:
+                p = scores
             else:
-                m = jnp.max(scores, axis=-1, keepdims=True)
-                p = (jnp.exp2(scores - m) if use_exp2
-                     else jnp.exp(scores - m))
-            denom = jnp.sum(p, axis=-1, keepdims=True)
+                col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+                scores = jnp.where(col < t, scores, -jnp.inf)
+                if skip_max:
+                    p = jnp.exp2(scores) if use_exp2 else jnp.exp(scores)
+                else:
+                    m = jnp.max(scores, axis=-1, keepdims=True)
+                    p = (jnp.exp2(scores - m) if use_exp2
+                         else jnp.exp(scores - m))
+            denom = (1.0 if gemm_only
+                     else jnp.sum(p, axis=-1, keepdims=True))
             out = jax.lax.dot_general(
                 p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32) / denom
             o_ref[0, head] = out.astype(o_ref.dtype)
 
+    from jax.experimental.pallas import tpu as pltpu
+    kwargs = {}
+    if arbitrary:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"))
     out = pl.pallas_call(
         kernel,
         grid=(b, h // hg),
@@ -93,7 +105,83 @@ def batched_heads(q, k, v, kv_valid=None, use_exp2=False, skip_max=False):
                   pl.BlockSpec((1, hg, t_pad, d), lambda i, j: (i, j, 0, 0))],
         out_specs=pl.BlockSpec((1, hg, s_pad, d), lambda i, j: (i, j, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
+        **kwargs,
     )(qf, kf, vf)
+    return out.transpose(0, 2, 1, 3)[:, :s]
+
+
+def batched_heads_opt(q, k, v, kv_valid=None, skip_max=False):
+    """VPU-diet variant:
+      * scale*log2(e) folded into q OUTSIDE the kernel (XLA fuses it into
+        the pad/transpose copy) — kills the per-score scale multiply;
+      * kv_valid masking as a precomputed additive bias ROW (one broadcast
+        add) instead of iota+cmp+select (three passes);
+      * softmax denominator from the PV matmul itself: V is augmented with
+        a ones-column in the lane space d=64 blocks already waste
+        (N=128 tile), so `p @ [v|1]` yields [out, rowsum] in the SAME GEMM;
+      * exp2 (the hardware exponential).
+    """
+    b, s, h, d = q.shape
+    t = k.shape[1] if kv_valid is None else kv_valid
+    scale = d ** -0.5
+    s_pad = _ceil_to(s, 128)
+    t_pad = _ceil_to(k.shape[1], 128)
+
+    def prep(x, to):
+        x = jnp.pad(x, ((0, 0), (0, to - x.shape[1]), (0, 0), (0, 0)))
+        return x.transpose(0, 2, 1, 3)
+
+    qf = prep(q * jnp.asarray(scale * _LOG2E, q.dtype), s_pad)
+    kf = prep(k, t_pad)
+    # [v | 1 | 0...]: lanes 0:64 values, lane 64 ones -> PV GEMM emits the
+    # softmax denominator for free
+    vf = prep(v, t_pad)
+    ones = jnp.ones((b, t_pad, h, 1), v.dtype).transpose(0, 2, 1, 3)
+    vf = jnp.concatenate([vf, ones], axis=-1)
+    d_aug = d + 1
+    # additive mask row: 0 on real keys, -inf on pads (f32, (1, t_pad))
+    neg = jnp.float32(-1e30)
+    mask_row = jnp.where(jnp.arange(t_pad) < t, 0.0, neg)[None, :]
+    need_mask = t < t_pad
+
+    hg = 1
+    for cand in (4, 3, 2):
+        if h % cand == 0 and cand * s_pad * t_pad * 4 * 2 < 8 * 2 ** 20:
+            hg = cand
+            break
+
+    def kernel(q_ref, k_ref, v_ref, m_ref, o_ref):
+        for head in range(hg):
+            qh = q_ref[0, head]
+            kh = k_ref[0, head]
+            vh = v_ref[0, head]
+            scores = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if need_mask:
+                scores = scores + m_ref[...]
+            if skip_max:
+                p = jnp.exp2(scores)
+            else:
+                m = jnp.max(scores, axis=-1, keepdims=True)
+                p = jnp.exp2(scores - m)
+            acc = jax.lax.dot_general(
+                p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            out = acc[:, :d] * (1.0 / acc[:, d:d_aug])
+            o_ref[0, head] = out.astype(o_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, h // hg),
+        in_specs=[pl.BlockSpec((1, hg, s_pad, d), lambda i, j: (i, j, 0, 0)),
+                  pl.BlockSpec((1, hg, t_pad, d), lambda i, j: (i, j, 0, 0)),
+                  pl.BlockSpec((1, hg, t_pad, d_aug),
+                               lambda i, j: (i, j, 0, 0)),
+                  pl.BlockSpec((1, t_pad), lambda i, j: (0, 0))],
+        out_specs=pl.BlockSpec((1, hg, s_pad, d), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
+    )(qf, kf, vf, mask_row)
     return out.transpose(0, 2, 1, 3)[:, :s]
 
 
@@ -158,26 +246,32 @@ def main():
 
     # numerics sanity vs xla before timing
     ref = np.asarray(xla_attn(q, k, v), np.float32)
-    for tag, f in [
+    import os
+    checks = [] if os.environ.get("SKIP_NUMERICS") == "1" else [
         ("ours", functools.partial(batched_heads)),
-        ("exp2", functools.partial(batched_heads, use_exp2=True)),
-        ("nomax", functools.partial(batched_heads, skip_max=True)),
-        ("exp2+nomax", functools.partial(batched_heads, use_exp2=True,
-                                         skip_max=True)),
-    ]:
+        ("gemmonly", functools.partial(batched_heads, gemm_only=True)),
+    ]
+    for tag, f in checks:
         got = np.asarray(f(q, k, v), np.float32)
+        if tag == "gemmonly":
+            continue  # structural probe, not a softmax
         err = np.max(np.abs(got - ref))
         assert err < 2e-2, (tag, err)
+        print(f"numerics {tag:12s} max|err| {err:.2e}")
 
     results = {}
     order = [
-        ("xla", xla_attn),
         ("ours", functools.partial(batched_heads)),
-        ("exp2", functools.partial(batched_heads, use_exp2=True)),
-        ("nomax", functools.partial(batched_heads, skip_max=True)),
-        ("exp2+nomax", functools.partial(batched_heads, use_exp2=True,
-                                         skip_max=True)),
-        ("stock", stock_flash),
+        ("gemmonly", functools.partial(batched_heads, gemm_only=True)),
+        ("gemmonly-hg2", functools.partial(batched_heads, gemm_only=True,
+                                           force_hg=2)),
+        ("gemmonly-hg6", functools.partial(batched_heads, gemm_only=True,
+                                           force_hg=6)),
+        ("hg2", functools.partial(batched_heads, force_hg=2)),
+        ("hg6", functools.partial(batched_heads, force_hg=6)),
+        ("hg6-arb", functools.partial(batched_heads, force_hg=6,
+                                      arbitrary=True)),
+        ("hg3-arb", functools.partial(batched_heads, arbitrary=True)),
     ]
     # interleave A/B (run the whole list twice, keep the min) — axon
     # run-to-run variance is ±15%

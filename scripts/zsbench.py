@@ -19,7 +19,10 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
+
+sys.path.insert(0, "/root/repo")
 
 import numpy as np
 
@@ -53,6 +56,12 @@ def main():
     clip_params = clip.init(rng, jnp.ones((1, 3, 224, 224)),
                             jnp.ones((1, 14, 14)), -3,
                             method=clip.get_image_features)["params"]
+    text_params = clip.init(
+        jax.random.PRNGKey(1), jnp.ones((2, 77), jnp.int32),
+        jnp.ones((2, 77), jnp.int32),
+        method=clip.get_text_features)["params"]
+    from tunevlseg_tpu.config.composer import deep_merge
+    clip_params = deep_merge(dict(text_params), clip_params)
     solo = SOLOv2(solo_cfg)
     from tunevlseg_tpu.models.solov2.model import preprocess_image
     solo_params = solo.init(rng, preprocess_image(

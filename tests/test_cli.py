@@ -361,6 +361,61 @@ def test_train_steps_per_execution(synth_root, tmp_path):
     assert np.isfinite(result["test_loss"])  # NaN smoke guard (tiny-vocab bug, r3)
 
 
+def test_spe_straggler_resume_step_monotonic(synth_root, tmp_path):
+    """steps_per_execution with a non-divisible batch count (fused group +
+    unfused stragglers) across a ckpt resume: logged step counts must be
+    strictly increasing and the resumed run must continue the global step
+    exactly — no repeats, no resets (VERDICT r2 weak #7)."""
+    import json as json_mod
+
+    from tunevlseg_tpu import train as train_mod
+
+    out = tmp_path / "logs"
+    common = [
+        "ds_name=kvasir_polyp",
+        f"paths.data_root={synth_root}",
+        f"paths.log_dir={out}",
+        f"vocab_path={VOCAB}",
+        "img_size=32", "+tiny_model=true",
+        "data.batch_size=2",          # 8 samples -> 4 batches/epoch
+        "data.num_workers=2",
+        "trainer=debug",
+        "trainer.limit_batches=4",
+        "trainer.n_devices=2",
+        "+trainer.steps_per_execution=3",  # 1 fused group + 1 straggler
+        "trainer.log_every_n_steps=1",
+        "predict=false",
+    ]
+    r1 = train_mod.main(common + ["trainer.max_epochs=2",
+                                  "exp_name=spe_resume_a"])
+    assert np.isfinite(r1["test_loss"])
+
+    def logged_steps(exp):
+        path = out / "train" / exp / "metrics.jsonl"
+        steps = []
+        for line in path.read_text().splitlines():
+            rec = json_mod.loads(line)
+            if any(k.startswith("train_") for k in rec):
+                steps.append(rec["step"])
+        return steps
+
+    s1 = logged_steps("spe_resume_a")
+    assert s1 and s1 == sorted(s1) and len(set(s1)) == len(s1)
+    assert s1[-1] == 8  # 2 epochs x 4 steps, stragglers counted singly
+
+    ckpt_dir = out / "train" / "spe_resume_a" / "checkpoints"
+    r2 = train_mod.main(common + [
+        "trainer.max_epochs=4",
+        f"ckpt_path={ckpt_dir}",
+        "exp_name=spe_resume_b",
+    ])
+    assert np.isfinite(r2["test_loss"])
+    s2 = logged_steps("spe_resume_b")
+    # resumed run continues AFTER step 8, stays monotone, ends at 16
+    assert s2 and min(s2) > 8 and s2 == sorted(s2)
+    assert s2[-1] == 16
+
+
 def test_e2e_clipseg_experiment(synth_root, tmp_path):
     """experiment=e2e_clipseg: full fine-tune overlay (freeze_all=false,
     stock decoder) through the train cycle — reference e2e_clipseg.yaml."""

@@ -90,7 +90,12 @@ def test_trans_segmentor_parity(use_existing_proj):
 
     # decoder_activation="relu": torch's TransformerDecoder deepcopy resets
     # module-type activations (the configured GELU) to F.relu — quirk mirrored
+    from tunevlseg_tpu.models.clip.config import CLIPTextConfig
     cfg = TransSegmentorConfig.tiny(
+        # match the 99-vocab torch oracle above (the tiny DEFAULT now uses
+        # the real 49408 vocab so real BPE ids survive the CLI debug hook)
+        text=CLIPTextConfig(vocab_size=99, hidden_size=16, num_layers=2,
+                            num_heads=2, intermediate_size=32),
         use_existing_proj=use_existing_proj, add_pos_enc=True,
         decoder_num_layers=2, decoder_num_heads=2, decoder_dim_feedforward=16,
         decoder_dropout=0.0, decoder_activation="relu",

@@ -216,9 +216,12 @@ def main() -> None:
                          "vision tower and exercise the Pallas backward)")
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--img", type=int, default=None)
-    ap.add_argument("--scan", type=int, default=5,
+    ap.add_argument("--scan", type=int, default=10,
                     help="steps fused per executable (steps-per-execution); "
-                         "1 = a separate launch per step")
+                         "1 = a separate launch per step (scan sweep r3: "
+                         "5 -> 16.87, 10 -> 16.97, 20 -> 17.05 steps/s on "
+                         "the flagship; 10 balances the gain against the "
+                         "K-times stacked device batch)")
     ap.add_argument("--windows", type=int, default=WINDOWS,
                     help="independent timed windows; the reported value is "
                          "the MEDIAN (axon transport is ±15%% run-to-run "

@@ -305,6 +305,43 @@ def test_zero_shot_ris_end_to_end(tmp_path):
     fused = ris_a1.predict_fused(image, ids, mask)
     np.testing.assert_array_equal(fused, ref)
 
+    # fused at the DEFAULT alpha (crop branch on device): same selection
+    ris_a95 = ZeroShotRIS(clip_cfg, solo_cfg, clip_params, solo_params,
+                          clip_image_size=32, alpha=0.95)
+    ref95 = ris_a95(image, ids, mask)
+    fused95 = ris_a95.predict_fused(image, ids, mask)
+    np.testing.assert_array_equal(fused95, ref95)
+
+
+def test_crop_resize_device_matches_host_oracle():
+    """ops.image.crop_resize_bicubic_masked vs the reference host crop
+    pipeline (ZeroShotRIS.host_crop_canvases) — incl. out-of-bounds,
+    negative-origin, and degenerate boxes."""
+    import jax.numpy as jnp
+
+    from tunevlseg_tpu.models.zero_shot_ris.model import ZeroShotRIS
+    from tunevlseg_tpu.ops.image import crop_resize_bicubic_masked
+
+    rng = np.random.default_rng(3)
+    h, w, p, size = 37, 45, 7, 16
+    image = rng.uniform(0, 255, (3, h, w)).astype(np.float32)
+    masks = (rng.random((p, h, w)) > 0.5).astype(np.float32)
+    boxes = np.stack([
+        [5, 4, 20, 30],        # interior
+        [-6, -3, 15, 12],      # negative origin (zero-padded canvas)
+        [30, 25, 60, 55],      # exceeds bounds on the far side
+        [10, 10, 10, 10],      # degenerate -> 1px
+        [0, 0, w, h],          # full image
+        [40, 30, 44, 36],      # small near-corner
+        [-10, -10, 50, 50],    # superset of the image
+    ]).astype(np.float32)
+    valid = np.ones((p,), np.float32)
+
+    host = ZeroShotRIS.host_crop_canvases(image, boxes, masks, valid, size)
+    dev = np.asarray(crop_resize_bicubic_masked(
+        jnp.asarray(image), jnp.asarray(masks), jnp.asarray(boxes), size))
+    np.testing.assert_allclose(dev, host, atol=2e-3, rtol=1e-4)
+
 
 def test_eval_zeroshot_cli(tmp_path):
     """The zero-shot eval driver end-to-end on synthetic data (tiny models,

@@ -177,13 +177,14 @@ def _run(cfg: dict) -> dict:
     limit = cfg["trainer"].get("limit_batches")
     import jax.numpy as jnp
 
-    # alpha=1 with no cache involvement: the whole pipeline fuses into ONE
-    # device launch per image (~3-4x fewer dispatches on the axon transport)
+    # no cache involvement: the whole pipeline (incl. the device crop-resize
+    # at alpha<1) fuses into ONE device launch per image — the host loop's
+    # per-stage round trips ship the full proposal-mask stack each hop
     use_fused = (cfg["model"].get("fused", "auto") != "off"
-                 and ris.alpha == 1.0 and ris.cache_dir is None)
+                 and ris.cache_dir is None)
     call = ris.predict_fused if use_fused else ris
     if use_fused:
-        log.info("alpha=1, no cache: using the fused single-launch path")
+        log.info("no cache configured: using the fused single-launch path")
     for i in range(len(dataset)):
         if limit is not None and i >= limit:
             break

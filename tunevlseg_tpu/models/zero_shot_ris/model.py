@@ -174,9 +174,13 @@ class ZeroShotRIS:
             jnp.asarray(small), self.masking_block_idx,
             method=self.clip.get_image_features)
 
-    def get_crop_features(self, image: np.ndarray, boxes: np.ndarray,
-                          masks: np.ndarray, valid: np.ndarray):
-        size = self.clip_image_size
+    @staticmethod
+    def host_crop_canvases(image: np.ndarray, boxes: np.ndarray,
+                           masks: np.ndarray, valid: np.ndarray,
+                           size: int) -> np.ndarray:
+        """Reference crop pipeline on host (torchvision resized_crop of the
+        mask-filled image; ref zero_shot_ris/__init__.py:106-159). Kept as
+        the oracle for the device op `ops.image.crop_resize_bicubic_masked`."""
         pixel_mean = image.mean(axis=(1, 2), keepdims=True)
         crops = []
         for box, mask, ok in zip(boxes.astype(np.int64), masks, valid):
@@ -198,8 +202,14 @@ class ZeroShotRIS:
                     filled[:, ys0:ys1, xs0:xs1]
             crops.append(np.asarray(
                 resize_2d(jnp.asarray(canvas), (size, size), "bicubic")))
+        return np.stack(crops)
+
+    def get_crop_features(self, image: np.ndarray, boxes: np.ndarray,
+                          masks: np.ndarray, valid: np.ndarray):
+        crops = self.host_crop_canvases(image, boxes, masks, valid,
+                                        self.clip_image_size)
         return self.clip.apply({"params": self.clip_params},
-                               jnp.asarray(np.stack(crops)),
+                               jnp.asarray(crops),
                                method=self.clip.get_image_features)
 
     def get_visual_feature(self, image, boxes, masks, valid,
@@ -243,24 +253,38 @@ class ZeroShotRIS:
 
     def _fused_forward(self, solo_params, clip_params, image, input_ids,
                        attention_mask, ori_hw):
-        """The whole alpha=1 pipeline in ONE executable: proposals →
-        device mask-downsample → masked-CLIP → text ensemble → cosine
-        argmax → selected mask. On the axon transport each extra launch
-        costs ~30ms of dispatch; the host loop spends 3-4 launches per
-        image — this path spends one."""
+        """The whole pipeline in ONE executable: proposals → device mask
+        downsample → masked-CLIP (+ device crop-resize → CLIP when
+        alpha<1) → text ensemble → cosine argmax → selected mask. On the
+        axon transport each extra launch costs ~30ms of dispatch and every
+        host hop ships the (P,H,W) proposal masks; the host loop spends
+        3-4 launches plus ~100 per-crop resizes per image — this path
+        spends one launch and keeps everything on device."""
         masks, boxes, scores, embs, valid = self._solo_forward(
             solo_params, image, ori_hw)
         size = self.clip_image_size
-        resized = resize_2d(image[None], (size, size), "bicubic")
-        grid = size // self.clip_config.vision.patch_size
-        rows = jnp.asarray(_resize_matrix(ori_hw[0], grid, "nearest"))
-        cols = jnp.asarray(_resize_matrix(ori_hw[1], grid, "nearest"))
-        small = jnp.einsum("gh,phw,kw->pgk", rows,
-                           masks.astype(jnp.float32), cols)
-        small = (small > 0.5).astype(jnp.float32)
-        visual = self.clip.apply(
-            {"params": clip_params}, resized, small, self.masking_block_idx,
-            method=self.clip.get_image_features)
+        visual = 0.0
+        if self.alpha != 0.0:
+            resized = resize_2d(image[None], (size, size), "bicubic")
+            grid = size // self.clip_config.vision.patch_size
+            rows = jnp.asarray(_resize_matrix(ori_hw[0], grid, "nearest"))
+            cols = jnp.asarray(_resize_matrix(ori_hw[1], grid, "nearest"))
+            small = jnp.einsum("gh,phw,kw->pgk", rows,
+                               masks.astype(jnp.float32), cols)
+            small = (small > 0.5).astype(jnp.float32)
+            mask_f = self.clip.apply(
+                {"params": clip_params}, resized, small,
+                self.masking_block_idx, method=self.clip.get_image_features)
+            visual = visual + self.alpha * mask_f
+        if self.alpha != 1.0:
+            from tunevlseg_tpu.ops.image import crop_resize_bicubic_masked
+            crops = crop_resize_bicubic_masked(image, masks, boxes, size)
+            crop_f = self.clip.apply(
+                {"params": clip_params}, crops,
+                method=self.clip.get_image_features)
+            # invalid rows: irrelevant (masked to -inf at selection), same
+            # as the host path's zero-canvas features
+            visual = visual + (1.0 - self.alpha) * crop_f
         feats = self.clip.apply(
             {"params": clip_params}, input_ids, attention_mask,
             method=self.clip.get_text_features)
@@ -280,9 +304,9 @@ class ZeroShotRIS:
     def predict_fused(self, image: np.ndarray, input_ids: np.ndarray,
                       attention_mask: np.ndarray,
                       cache_name: Optional[str] = None) -> np.ndarray:
-        """Single-launch variant of __call__; requires alpha == 1 (the crop
-        branch is host-side by nature). Ignores the npz cache."""
-        assert self.alpha == 1.0, "predict_fused requires alpha=1 (no crops)"
+        """Single-launch variant of __call__ at any alpha (the crop branch
+        runs on device via ops.image.crop_resize_bicubic_masked). Ignores
+        the npz cache."""
         ori_hw = tuple(image.shape[-2:])
         return np.asarray(self._jit_fused(
             self.solo_params, self.clip_params, jnp.asarray(image),

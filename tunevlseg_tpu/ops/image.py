@@ -27,6 +27,7 @@ from __future__ import annotations
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -95,6 +96,86 @@ def resize_2d(img: jnp.ndarray, out_hw: tuple[int, int], method: str = "bilinear
     x = jnp.einsum("oh,...hw->...ow", wr, x, preferred_element_type=jnp.float32)
     x = jnp.einsum("ow,...hw->...ho", wc, x, preferred_element_type=jnp.float32)
     return x.astype(dtype)
+
+
+def _cubic_kernel_jnp(x: jnp.ndarray, a: float = -0.75) -> jnp.ndarray:
+    x = jnp.abs(x)
+    x2, x3 = x * x, x * x * x
+    return jnp.where(
+        x <= 1.0,
+        (a + 2.0) * x3 - (a + 3.0) * x2 + 1.0,
+        jnp.where(x < 2.0,
+                  a * x3 - 5.0 * a * x2 + 8.0 * a * x - 4.0 * a, 0.0))
+
+
+def _crop_axis_taps(start: jnp.ndarray, clen: jnp.ndarray, n_in: int,
+                    out_size: int):
+    """Per-proposal bicubic taps for one axis of a crop-resize.
+
+    `start`/`clen` (P,) int canvas origin/length in source coords. Returns
+    (idx, weight, ok) each (4, P, out_size): absolute source index (clamped
+    into the image), cubic weight, and whether the CANVAS tap lands inside
+    the image (outside-canvas taps clamp to the canvas edge first — the
+    same np.add.at accumulation semantics as _resize_matrix — and the
+    canvas is zero wherever it exceeds the image)."""
+    j = jnp.arange(out_size, dtype=jnp.float32)
+    src = (j[None] + 0.5) * (clen[:, None].astype(jnp.float32)
+                             / out_size) - 0.5          # (P, S) canvas space
+    base = jnp.floor(src)
+    frac = src - base
+    idxs, wgts, oks = [], [], []
+    for m in range(-1, 3):
+        w = _cubic_kernel_jnp(frac - m)
+        cidx = jnp.clip(base + m, 0, (clen - 1)[:, None].astype(jnp.float32))
+        aidx = start[:, None].astype(jnp.float32) + cidx
+        ok = (aidx >= 0) & (aidx < n_in)
+        idxs.append(jnp.clip(aidx, 0, n_in - 1).astype(jnp.int32))
+        wgts.append(w.astype(jnp.float32))
+        oks.append(ok)
+    return (jnp.stack(idxs), jnp.stack(wgts),
+            jnp.stack(oks).astype(jnp.float32))
+
+
+def crop_resize_bicubic_masked(image: jnp.ndarray,   # (C, H, W)
+                               masks: jnp.ndarray,   # (P, H, W) {0,1}
+                               boxes: jnp.ndarray,   # (P, 4) x1 y1 x2 y2
+                               out_size: int) -> jnp.ndarray:
+    """Device-side `torchvision.resized_crop` of the mask-filled image for
+    EVERY proposal at once — the zsseg crop-features path
+    (reference zero_shot_ris/__init__.py:106-159) without the per-crop
+    host loop. Exactly matches the host reference implementation
+    (ZeroShotRIS.get_crop_features): the crop canvas is the mask-filled
+    image (fill = per-channel image mean) inside the image bounds and ZERO
+    outside; bicubic A=-0.75 with edge-clamped taps in canvas space;
+    int-truncated boxes; degenerate boxes clamp to 1px. Returns
+    (P, C, out_size, out_size) float32."""
+    c, h, w = image.shape
+    image = image.astype(jnp.float32)
+    masks = masks.astype(jnp.float32)
+    mean = image.mean(axis=(1, 2))                       # (C,)
+    bi = boxes.astype(jnp.int32)                         # trunc toward zero
+    x1, y1, x2, y2 = bi[:, 0], bi[:, 1], bi[:, 2], bi[:, 3]
+    cw = jnp.maximum(x2 - x1, 1)
+    ch = jnp.maximum(y2 - y1, 1)
+    xi, xw, xo = _crop_axis_taps(x1, cw, w, out_size)    # (4, P, S)
+    yi, yw, yo = _crop_axis_taps(y1, ch, h, out_size)
+
+    def per_proposal(mask_p, xi_p, xw_p, xo_p, yi_p, yw_p, yo_p):
+        acc_w = jnp.zeros((c, h, out_size), jnp.float32)
+        for m in range(4):
+            img_cols = image[:, :, xi_p[m]]              # (C, H, S)
+            m_cols = mask_p[:, xi_p[m]]                  # (H, S)
+            fill = (img_cols * m_cols[None]
+                    + (1.0 - m_cols[None]) * mean[:, None, None])
+            acc_w = acc_w + fill * (xw_p[m] * xo_p[m])[None, None, :]
+        acc = jnp.zeros((c, out_size, out_size), jnp.float32)
+        for m in range(4):
+            rows = acc_w[:, yi_p[m], :]                  # (C, S, S)
+            acc = acc + rows * (yw_p[m] * yo_p[m])[None, :, None]
+        return acc
+
+    return jax.vmap(per_proposal, in_axes=(0, 1, 1, 1, 1, 1, 1))(
+        masks, xi, xw, xo, yi, yw, yo)
 
 
 def upsample_scale(img: jnp.ndarray, scale: int, method: str = "bilinear") -> jnp.ndarray:

@@ -171,6 +171,57 @@ def test_trans_segmentor_train_cycle(synth_root, tmp_path):
     assert np.isfinite(result["test_loss"])  # NaN smoke guard (tiny-vocab bug, r3)
 
 
+def test_trans_segmentor_pretrained_encoder_checkpoints(tmp_path):
+    """load_pretrained routes trans_segmentor checkpoints through the right
+    converter: bare CLIPModel / SiglipModel encoder state dicts (the
+    reference's from_pretrained path) overlay the tiny model cleanly."""
+    import torch
+    import transformers
+
+    from tunevlseg_tpu.train import load_pretrained
+
+    # CLIP encoder
+    torch.manual_seed(0)
+    clip = transformers.CLIPModel(transformers.CLIPConfig(
+        text_config=dict(vocab_size=49408, hidden_size=16,
+                         num_hidden_layers=2, num_attention_heads=2,
+                         intermediate_size=32),
+        vision_config=dict(hidden_size=24, num_hidden_layers=2,
+                           num_attention_heads=2, intermediate_size=48,
+                           patch_size=16, image_size=32),
+        projection_dim=20))
+    p = tmp_path / "clip_enc.pt"
+    torch.save(clip.state_dict(), p)
+    cfg = compose(CONFIG_DIR, "train", ["model=trans_seg", "ds_name=x",
+                                        f"pretrained_checkpoint={p}"])
+    cfg["tiny_model"] = True
+    loaded = load_pretrained(cfg)
+    assert "text_model" in loaded["params"]
+    assert "vision_model" in loaded["params"]
+    ref = clip.state_dict()["text_model.embeddings.token_embedding.weight"]
+    np.testing.assert_allclose(
+        loaded["params"]["text_model"]["token_embedding"]["embedding"],
+        ref.numpy(), atol=0)
+
+    # SigLIP encoder
+    sig = transformers.SiglipModel(transformers.SiglipConfig(
+        text_config=dict(vocab_size=49408, hidden_size=16,
+                         num_hidden_layers=2, num_attention_heads=2,
+                         intermediate_size=32),
+        vision_config=dict(hidden_size=24, num_hidden_layers=2,
+                           num_attention_heads=2, intermediate_size=48,
+                           patch_size=16, image_size=32)))
+    p2 = tmp_path / "siglip_enc.pt"
+    torch.save(sig.state_dict(), p2)
+    cfg2 = compose(CONFIG_DIR, "train", ["model=trans_seg_siglip",
+                                         "ds_name=x",
+                                         f"pretrained_checkpoint={p2}"])
+    cfg2["tiny_model"] = True
+    loaded2 = load_pretrained(cfg2)
+    assert "patch_bias" in loaded2["params"]["vision_model"]
+    assert "head" in loaded2["params"]["text_model"]
+
+
 def test_trans_segmentor_siglip_train_cycle(synth_root, tmp_path):
     """trans_seg + SigLIP towers fed by REAL text through the sentencepiece
     tokenizer (tokenizer_family=siglip) — the family's first true e2e run

@@ -170,6 +170,76 @@ def test_clipseg_rd64_fullkey_and_parity():
     assert np.max(np.abs(got - ref)) < 5e-3, np.max(np.abs(got - ref))
 
 
+def test_siglip_fullkey_and_pooled_parity():
+    """HF `SiglipModel` key set -> SiglipTextTower/SiglipVisionTower
+    (google/siglip-base-patch16-224 layout at tiny dims): zero unconsumed
+    keys, exact structural match, and f64 pooled-output parity — the first
+    oracle covering the attention-pooling head."""
+    import transformers
+
+    from tunevlseg_tpu.convert.clipseg import _Tree
+    from tunevlseg_tpu.convert.trans_segmentor import convert_hf_siglip_model
+    from tunevlseg_tpu.models.clip.config import (CLIPTextConfig,
+                                                  CLIPVisionConfig)
+    from tunevlseg_tpu.models.trans_segmentor.model import TransSegmentorConfig
+    from tunevlseg_tpu.models.trans_segmentor.siglip import (SiglipTextTower,
+                                                             SiglipVisionTower)
+
+    dims = dict(hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+                intermediate_size=64)
+    hf_cfg = transformers.SiglipConfig(
+        text_config=dict(vocab_size=128, max_position_embeddings=16, **dims),
+        vision_config=dict(image_size=32, patch_size=16, **dims))
+    torch.manual_seed(0)
+    hf = transformers.SiglipModel(hf_cfg).double().eval()
+    sd = TrackingDict(torch_state_dict_to_numpy(hf.state_dict()))
+
+    text_cfg = CLIPTextConfig(vocab_size=128, hidden_size=32, num_layers=2,
+                              num_heads=2, intermediate_size=64,
+                              max_position_embeddings=16)
+    vision_cfg = CLIPVisionConfig(hidden_size=32, num_layers=2, num_heads=2,
+                                  intermediate_size=64, patch_size=16,
+                                  image_size=32)
+    cfg = TransSegmentorConfig.tiny(encoder_family="siglip", text=text_cfg,
+                                    vision=vision_cfg)
+    t = _Tree()
+    convert_hf_siglip_model(sd, cfg, t)
+
+    ignorable = {k for k in sd if k in ("logit_scale", "logit_bias")
+                 or k.endswith("position_ids")}
+    unused = set(sd) - sd.accessed - ignorable
+    assert not unused, f"unconsumed SiglipModel keys: {sorted(unused)[:10]}"
+
+    text = SiglipTextTower(text_cfg)
+    vision = SiglipVisionTower(vision_cfg, use_head=True)
+    ids = jnp.asarray(np.array([[5, 9, 3, 100, 7, 2] + [1] * 10]), jnp.int32)
+    pix_np = np.random.default_rng(1).normal(size=(2, 3, 32, 32))
+    ti = text.init(jax.random.PRNGKey(0), ids)
+    vi = vision.init(jax.random.PRNGKey(0),
+                     jnp.asarray(pix_np, jnp.float32))
+    assert_same_tree(t["text_model"], ti["params"], "siglip text")
+    assert_same_tree(t["vision_model"], vi["params"], "siglip vision")
+
+    # pooled parity (f64 oracle)
+    prev = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        with torch.no_grad():
+            ref_t = hf.text_model(
+                input_ids=torch.tensor(np.asarray(ids).astype(np.int64))
+            ).pooler_output.numpy()
+            ref_v = hf.vision_model(
+                pixel_values=torch.tensor(pix_np, dtype=torch.float64)
+            ).pooler_output.numpy()
+    finally:
+        torch.set_default_dtype(prev)
+    _, got_t = text.apply({"params": t["text_model"]}, ids)
+    _, _, got_v = vision.apply({"params": t["vision_model"]},
+                               jnp.asarray(pix_np, jnp.float32))
+    np.testing.assert_allclose(np.asarray(got_t), ref_t, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got_v), ref_v, atol=5e-4)
+
+
 # ---------------------------------------------------------------------------
 # 2. OpenAI CLIP RN50 (the RN50.pt build_model key set)
 # ---------------------------------------------------------------------------

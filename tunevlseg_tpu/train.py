@@ -247,6 +247,36 @@ def load_pretrained(cfg: dict):
         from tunevlseg_tpu.models.presets import cris_rn50_config
         return load_cris_checkpoint(path, cris_rn50_config(
             cfg.get("img_size", 416)), m.get("strategy"))
+    if family == "trans_segmentor":
+        import torch
+
+        from tunevlseg_tpu.convert.clipseg import torch_state_dict_to_numpy
+        from tunevlseg_tpu.convert.trans_segmentor import (
+            convert_hf_clip_model, convert_hf_siglip_model,
+            convert_trans_segmentor, _Tree)
+        from tunevlseg_tpu.models.trans_segmentor.model import (
+            TransSegmentorConfig)
+
+        raw = torch.load(path, map_location="cpu", weights_only=False)
+        if isinstance(raw, dict) and "state_dict" in raw:
+            raw = raw["state_dict"]
+        sd = torch_state_dict_to_numpy(raw)
+        config = (TransSegmentorConfig.tiny() if cfg.get("tiny_model")
+                  else TransSegmentorConfig())
+        import dataclasses
+        config = dataclasses.replace(
+            config, encoder_family=m.get("encoder_family", "clip"))
+        if any(k.startswith("encoder.model.") for k in sd):
+            # full reference TransformerSegmentor checkpoint
+            return {"params": convert_trans_segmentor(sd, config)}
+        # bare CLIPModel / SiglipModel encoder checkpoint (the reference's
+        # from_pretrained path, encoder.py:41)
+        t = _Tree()
+        if config.encoder_family == "siglip":
+            convert_hf_siglip_model(sd, config, t)
+        else:
+            convert_hf_clip_model(sd, config, t)
+        return {"params": t}
     from tunevlseg_tpu.convert.clipseg import load_checkpoint_params
     if cfg.get("tiny_model"):
         from tunevlseg_tpu.models.clip.config import CLIPSegConfig

@@ -312,6 +312,23 @@ def test_zero_shot_ris_end_to_end(tmp_path):
     fused95 = ris_a95.predict_fused(image, ids, mask)
     np.testing.assert_array_equal(fused95, ref95)
 
+    # fused cache WRITING: must produce npz files the read_cache (model-
+    # free sweep) path consumes to the identical result
+    fused_cache = tmp_path / "fused_cache"
+    ris_fc = ZeroShotRIS(clip_cfg, solo_cfg, clip_params, solo_params,
+                         clip_image_size=32, alpha=0.95,
+                         cache_dir=fused_cache, write_cache=True)
+    out_fc = ris_fc.predict_fused(image, ids, mask, cache_name="img0.png")
+    for postfix in ("freesolo", "visual_feature", "textual_feature"):
+        assert (fused_cache / f"img0_{postfix}.npz").exists()
+    ris_rc = ZeroShotRIS(clip_cfg, solo_cfg,
+                         jax.tree_util.tree_map(np.zeros_like, clip_params),
+                         jax.tree_util.tree_map(np.zeros_like, solo_params),
+                         clip_image_size=32, alpha=0.95,
+                         cache_dir=fused_cache, read_cache=True)
+    out_rc = ris_rc(image, ids, mask, cache_name="img0.png")
+    np.testing.assert_allclose(out_rc, out_fc, atol=0)
+
 
 def test_crop_resize_device_matches_host_oracle():
     """ops.image.crop_resize_bicubic_masked vs the reference host crop

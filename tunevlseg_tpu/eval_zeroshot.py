@@ -177,14 +177,17 @@ def _run(cfg: dict) -> dict:
     limit = cfg["trainer"].get("limit_batches")
     import jax.numpy as jnp
 
-    # no cache involvement: the whole pipeline (incl. the device crop-resize
-    # at alpha<1) fuses into ONE device launch per image — the host loop's
-    # per-stage round trips ship the full proposal-mask stack each hop
+    # unless READING a prebuilt cache (the model-free sweep mode), the whole
+    # pipeline (incl. the device crop-resize at alpha<1) fuses into ONE
+    # device launch per image — the host loop's per-stage round trips ship
+    # the full proposal-mask stack each hop. write_cache still works: the
+    # fused path saves the same npz files from its on-device intermediates.
     use_fused = (cfg["model"].get("fused", "auto") != "off"
-                 and ris.cache_dir is None)
+                 and not ris.read_cache)
     call = ris.predict_fused if use_fused else ris
     if use_fused:
-        log.info("no cache configured: using the fused single-launch path")
+        log.info("using the fused single-launch path%s",
+                 " (writing feature cache)" if ris.write_cache else "")
     for i in range(len(dataset)):
         if limit is not None and i >= limit:
             break

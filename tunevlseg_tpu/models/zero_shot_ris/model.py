@@ -298,19 +298,45 @@ class ZeroShotRIS:
             idx = jax.lax.top_k(sims, self.num_masks)[1]
         picked = jnp.take(masks, idx, axis=0)[:, None].astype(jnp.float32)
         # zero-proposal contract: all-invalid -> zero mask (__call__ parity)
-        return jnp.where(jnp.any(valid.astype(bool)), picked,
-                         jnp.zeros_like(picked))
+        picked = jnp.where(jnp.any(valid.astype(bool)), picked,
+                           jnp.zeros_like(picked))
+        extras = {"masks": masks, "boxes": boxes, "valid": valid,
+                  "mask_features": (mask_f if self.alpha != 0.0
+                                    else jnp.float32(0.0)),
+                  "crop_features": (crop_f if self.alpha != 1.0
+                                    else jnp.float32(0.0)),
+                  "phrase_features": feats[0], "class_features": feats[1]}
+        return picked, extras
 
     def predict_fused(self, image: np.ndarray, input_ids: np.ndarray,
                       attention_mask: np.ndarray,
                       cache_name: Optional[str] = None) -> np.ndarray:
         """Single-launch variant of __call__ at any alpha (the crop branch
-        runs on device via ops.image.crop_resize_bicubic_masked). Ignores
-        the npz cache."""
+        runs on device via ops.image.crop_resize_bicubic_masked).
+
+        With `write_cache` + `cache_dir` configured it ALSO writes the same
+        npz cache the host path produces (freesolo/visual/textual files),
+        so the alpha/beta-sweep cache-building pass runs at fused speed;
+        only then are the intermediate arrays pulled off device."""
         ori_hw = tuple(image.shape[-2:])
-        return np.asarray(self._jit_fused(
+        picked, extras = self._jit_fused(
             self.solo_params, self.clip_params, jnp.asarray(image),
-            jnp.asarray(input_ids), jnp.asarray(attention_mask), ori_hw))
+            jnp.asarray(input_ids), jnp.asarray(attention_mask), ori_hw)
+        if self.write_cache and self.cache_dir is not None and cache_name:
+            np.savez_compressed(
+                self._cache_path(cache_name, "freesolo"),
+                masks=np.asarray(extras["masks"]),
+                boxes=np.asarray(extras["boxes"]),
+                valid=np.asarray(extras["valid"]))
+            np.savez_compressed(
+                self._cache_path(cache_name, "visual_feature"),
+                mask_features=np.asarray(extras["mask_features"]),
+                crop_features=np.asarray(extras["crop_features"]))
+            np.savez_compressed(
+                self._cache_path(cache_name, "textual_feature"),
+                phrase_features=np.asarray(extras["phrase_features"]),
+                class_features=np.asarray(extras["class_features"]))
+        return np.asarray(picked)
 
     def __call__(self, image: np.ndarray, input_ids: np.ndarray,
                  attention_mask: np.ndarray,

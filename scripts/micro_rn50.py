@@ -14,22 +14,24 @@ sys.path.insert(0, "/root/repo")
 import numpy as np  # noqa: E402
 
 
-def timed_chain(fn, x0, iters=20):
+def timed_chain(fn, x0, params, iters=20):
+    """fn(params, x) -> y; params passed as a jit ARG (axon remote-compile
+    rejects closures with baked-in weight constants, CLAUDE.md rules)."""
     import jax
     import jax.numpy as jnp
 
-    def scanned(x0):
+    def scanned(p, x0):
         def body(c, _):
-            y = fn(c)
+            y = fn(p, c)
             s = jnp.sum(y.astype(jnp.float32)) * 1e-20
             return c + s.astype(c.dtype), ()
         out, _ = jax.lax.scan(body, x0, None, length=iters)
         return jnp.sum(out.astype(jnp.float32))
 
     j = jax.jit(scanned)
-    float(j(x0))
+    float(j(params, x0))
     t0 = time.perf_counter()
-    float(j(x0))
+    float(j(params, x0))
     return (time.perf_counter() - t0) / iters * 1e3
 
 
@@ -105,7 +107,7 @@ def main():
     for name, mod, shape, flops in cases:
         x = jnp.asarray(rng.normal(size=shape), jnp.bfloat16)
         params = mod.init(jax.random.PRNGKey(0), x)
-        ms = timed_chain(lambda c, m=mod, p=params: m.apply(p, c), x)
+        ms = timed_chain(lambda p, c, m=mod: m.apply(p, c), x, params)
         ideal = flops / 197e12 * 1e3
         total_ms += ms
         total_ideal += ideal

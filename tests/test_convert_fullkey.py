@@ -185,6 +185,19 @@ def test_siglip_fullkey_and_pooled_parity():
     from tunevlseg_tpu.models.trans_segmentor.siglip import (SiglipTextTower,
                                                              SiglipVisionTower)
 
+    # the full-size config must mirror HF's siglip-base defaults exactly —
+    # a CLIP-dimensioned config would mis-shape every converted tensor
+    hf_default = transformers.SiglipConfig()
+    full = TransSegmentorConfig.siglip_base()
+    assert full.text.vocab_size == hf_default.text_config.vocab_size
+    assert full.text.hidden_size == hf_default.text_config.hidden_size
+    assert full.text.num_layers == hf_default.text_config.num_hidden_layers
+    assert (full.text.max_position_embeddings
+            == hf_default.text_config.max_position_embeddings)
+    assert full.vision.hidden_size == hf_default.vision_config.hidden_size
+    assert full.vision.patch_size == hf_default.vision_config.patch_size
+    assert full.vision.image_size == hf_default.vision_config.image_size
+
     dims = dict(hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
                 intermediate_size=64)
     hf_cfg = transformers.SiglipConfig(

@@ -491,18 +491,22 @@ class SigLIPTokenizer:
         padding: str = "max_length",
         style: str = "siglip",
     ) -> dict[str, np.ndarray]:
-        """Fixed-shape int32 arrays; pads with `</s>` per SigLIP convention
-        (model_max_length 64). `style` accepted for interchangeability."""
+        """Fixed-shape int32 arrays; pads with `</s>` per SigLIP convention.
+
+        `max_length` is CLAMPED to the model_max_length (64): the SigLIP
+        text tower has exactly 64 position embeddings, and a dataset-level
+        default of 77 (the CLIP convention) would make the position gather
+        run out of range — the NaN-fill failure mode of the tiny-vocab bug."""
         if isinstance(texts, str):
             texts = [texts]
-        width = max_length or self.max_length
+        width = min(max_length or self.max_length, self.max_length)
+        encoded = [self.encode(t) for t in texts]
         if padding != "max_length":
-            width = min(width, max(len(self.encode(t)) for t in texts))
+            width = min(width, max(len(ids) for ids in encoded))
         n = len(texts)
         input_ids = np.full((n, width), self.pad_token_id, np.int32)
         attention_mask = np.zeros((n, width), np.int32)
-        for i, t in enumerate(texts):
-            ids = self.encode(t)
+        for i, ids in enumerate(encoded):
             if len(ids) > width:
                 ids = ids[:width]
                 ids[-1] = self.eos_token_id

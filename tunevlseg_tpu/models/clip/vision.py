@@ -45,12 +45,7 @@ _PAD_MIN_SEQ = 256
 
 def _padded_len(s: int) -> Optional[int]:
     """Target length if MXU padding applies at this sequence, else None."""
-    mode = _PAD_SEQ
-    if mode == "0" or s % 128 == 0 or s < _PAD_MIN_SEQ:
-        return None
-    if mode != "1" and jax.default_backend() != "tpu":
-        return None
-    return (s + 127) // 128 * 128
+    return decoder_padded_len(s, 128)
 
 
 def decoder_padded_len(s: int, multiple: int = 64) -> Optional[int]:

@@ -80,6 +80,30 @@ class TransSegmentorConfig:
                 else self.vision.hidden_size)
 
     @staticmethod
+    def siglip_base(**kw) -> "TransSegmentorConfig":
+        """google/siglip-base-patch16-224 tower dimensions (the reference's
+        SigLIP alternative encoder, encoder.py:41 via AutoModel): 768-wide
+        12-layer towers, sentencepiece vocab 32000, 64 text positions,
+        gelu_pytorch_tanh, no CLS / no projections (use_existing_proj
+        False — the text `head` plays the projection role)."""
+        base = dict(
+            text=CLIPTextConfig(vocab_size=32000, hidden_size=768,
+                                num_layers=12, num_heads=12,
+                                intermediate_size=3072,
+                                max_position_embeddings=64,
+                                hidden_act="gelu_pytorch_tanh",
+                                layer_norm_eps=1e-6),
+            vision=CLIPVisionConfig(hidden_size=768, num_layers=12,
+                                    num_heads=12, intermediate_size=3072,
+                                    patch_size=16, image_size=224,
+                                    hidden_act="gelu_pytorch_tanh",
+                                    layer_norm_eps=1e-6),
+            encoder_family="siglip",
+            use_existing_proj=False)
+        base.update(kw)
+        return TransSegmentorConfig(**base)
+
+    @staticmethod
     def tiny(**kw) -> "TransSegmentorConfig":
         base = dict(
             # real vocab: tiny models consume real BPE ids via the CLI debug

@@ -183,7 +183,15 @@ def build_model_and_task(cfg: dict, tokenizer=None, pretrained=None):
         from tunevlseg_tpu.training.optim import FreezeSpec
 
         tiny = bool(cfg.get("tiny_model"))
-        base = TransSegmentorConfig.tiny() if tiny else TransSegmentorConfig()
+        if tiny:
+            base = TransSegmentorConfig.tiny()
+        elif m.get("encoder_family", "clip") == "siglip":
+            # real SigLIP tower dims (vocab 32000, width 768, 64 positions)
+            # — a CLIP-dimensioned config would mis-shape every converted
+            # SigLIP checkpoint tensor
+            base = TransSegmentorConfig.siglip_base()
+        else:
+            base = TransSegmentorConfig()
         overrides = dict(
             encoder_family=m.get("encoder_family", "clip"),
             use_existing_proj=m.get("use_existing_proj", True),
@@ -261,8 +269,12 @@ def load_pretrained(cfg: dict):
         if isinstance(raw, dict) and "state_dict" in raw:
             raw = raw["state_dict"]
         sd = torch_state_dict_to_numpy(raw)
-        config = (TransSegmentorConfig.tiny() if cfg.get("tiny_model")
-                  else TransSegmentorConfig())
+        if cfg.get("tiny_model"):
+            config = TransSegmentorConfig.tiny()
+        elif m.get("encoder_family", "clip") == "siglip":
+            config = TransSegmentorConfig.siglip_base()
+        else:
+            config = TransSegmentorConfig()
         import dataclasses
         config = dataclasses.replace(
             config, encoder_family=m.get("encoder_family", "clip"))

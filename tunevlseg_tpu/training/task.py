@@ -103,8 +103,8 @@ class SegmentationTask:
             flat_p = traverse_util.flatten_dict(dict(params))
             dropped = [k for k in flat_p if k not in flat_r]
             if dropped:
-                import logging
-                logging.getLogger("tunevlseg").info(
+                from tunevlseg_tpu.utils.logging import get_logger
+                get_logger().info(
                     "dropping %d checkpoint tensors the model elides "
                     "(e.g. %s)", len(dropped), "/".join(dropped[0]))
                 flat_p = {k: v for k, v in flat_p.items() if k in flat_r}

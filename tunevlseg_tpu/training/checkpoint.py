@@ -33,6 +33,11 @@ class CheckpointManager:
         return value > self.best_value if self.mode == "max" else \
             value < self.best_value
 
+    def wait(self) -> None:
+        """Drain any in-flight async save (call before reading checkpoints
+        or ending the run)."""
+        self._ckptr.wait_until_finished()
+
     def save_frozen(self, frozen: Any) -> None:
         path = self.dir / "frozen"
         if not path.exists():
@@ -40,6 +45,12 @@ class CheckpointManager:
             self._ckptr.wait_until_finished()
 
     def save(self, tag: str, state: Any, extra: dict) -> None:
+        """ASYNC save: orbax serializes device arrays in a background thread
+        so the next epoch's compute overlaps the write (the reference's
+        Lightning ModelCheckpoint blocks the loop). The previous in-flight
+        save is drained first — required anyway before clearing the old tag
+        directory — and `wait()`/`restore()` drain before any read."""
+        self._ckptr.wait_until_finished()
         path = (self.dir / tag).resolve()
         payload = {"trainable": state.trainable, "opt_state": state.opt_state,
                    "step": state.step, "rng": state.rng,
@@ -48,7 +59,6 @@ class CheckpointManager:
             import shutil
             shutil.rmtree(path)
         self._ckptr.save(path, payload)
-        self._ckptr.wait_until_finished()
         # best_value rides every meta so a resumed run never demotes the
         # historical best on its first validation
         meta = {"best_value": self.best_value, **extra}
@@ -74,6 +84,7 @@ class CheckpointManager:
         return json.loads(path.read_text())
 
     def restore(self, tag: str, state_like: Any) -> Any:
+        self._ckptr.wait_until_finished()
         path = (self.dir / tag).resolve()
         payload = {"trainable": state_like.trainable,
                    "opt_state": state_like.opt_state,

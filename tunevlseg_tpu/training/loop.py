@@ -277,6 +277,9 @@ class Trainer:
             else:
                 self.ckpt.save("last", state,
                                {"epoch": epoch, **self._fit_extra()})
+        # saves are async (overlapping epoch compute); drain before the
+        # caller reads checkpoints (test-on-best) or the process exits
+        self.ckpt.wait()
         return state
 
     def test(self, state, frozen, test_loader: DataLoader,

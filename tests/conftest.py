@@ -22,6 +22,9 @@ else:
     # CI-equivalent chip runs must fail LOUDLY on kernel breakage, not
     # silently demote to the XLA fallback (VERDICT r2 #7)
     os.environ.setdefault("TUNEVLSEG_FLASH", "strict")
+    # TPU matmuls default to bf16 passes (~2e-3 error) — parity/equivalence
+    # tolerances assume f32 accumulation (the verify-skill gotcha)
+    jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np
 import pytest

@@ -1,0 +1,72 @@
+"""CLIP BPE tokenizer exact-id parity vs HF's Rust CLIPTokenizerFast.
+
+The oracle is built from vocab.json/merges.txt materialized from the SAME
+public `bpe_simple_vocab_16e6.txt.gz` the framework consumes (the byte-
+vocab + merges + specials construction is the canonical CLIP layout HF
+publishes for openai/clip-vit-*); the Rust backend then independently
+checks the hard parts — the regex pre-tokenization, byte-to-unicode
+mapping, merge ordering, </w> word-end handling, and special-token ids.
+"""
+import gzip
+import json
+from pathlib import Path
+
+import pytest
+
+from tunevlseg_tpu.data.tokenizer import CLIPTokenizer
+
+VOCAB_GZ = Path("/root/reference/src/models/components/denseclip/"
+                "bpe_simple_vocab_16e6.txt.gz")
+pytestmark = pytest.mark.skipif(not VOCAB_GZ.exists(),
+                                reason="CLIP vocab not available")
+
+CASES = [
+    "a photo of a dog.",
+    "A PHOTO, of a Polyp!",
+    "the neoplastic polyp's boundary",       # contraction 's
+    "x-ray   with   spaces",
+    "ultrasound (2 cm) lesion",
+    "it'll wasn't we're i'm you've i'd",     # contraction battery
+    "café naïve résumé",                     # accents
+    "covid-19 2023 100%",
+    "<|startoftext|> tricks <|endoftext|>",  # literal special tokens in text
+    "",
+]
+
+
+@pytest.fixture(scope="module")
+def pair(tmp_path_factory):
+    from transformers import CLIPTokenizerFast
+
+    ours = CLIPTokenizer(VOCAB_GZ)
+    d = tmp_path_factory.mktemp("clipbpe")
+    (d / "vocab.json").write_text(json.dumps(ours.encoder))
+    raw = gzip.decompress(VOCAB_GZ.read_bytes()).decode("utf-8").split("\n")
+    merge_lines = raw[1:49152 - 256 - 2 + 1]
+    (d / "merges.txt").write_text("#version: 0.2\n"
+                                  + "\n".join(m for m in merge_lines if m))
+    hf = CLIPTokenizerFast(vocab_file=str(d / "vocab.json"),
+                           merges_file=str(d / "merges.txt"))
+    return ours, hf
+
+
+def test_exact_id_parity(pair):
+    ours, hf = pair
+    for text in CASES:
+        got = ours.encode(text)
+        ref = hf(text)["input_ids"]
+        assert got == ref, (text, got, ref)
+
+
+def test_padding_contract(pair):
+    import numpy as np
+
+    ours, hf = pair
+    texts = ["a photo of a dog.", "polyp"]
+    got = ours(texts, max_length=12)
+    ref = hf(texts, padding="max_length", max_length=12, truncation=True,
+             return_tensors="np")
+    np.testing.assert_array_equal(got["input_ids"],
+                                  ref["input_ids"].astype(np.int32))
+    np.testing.assert_array_equal(got["attention_mask"],
+                                  ref["attention_mask"].astype(np.int32))

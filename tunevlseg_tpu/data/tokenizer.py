@@ -132,6 +132,12 @@ class CLIPTokenizer:
             text = text.lower()
         ids: list[int] = []
         for word in _TOKEN_PATTERN.findall(text):
+            if word in ("<|startoftext|>", "<|endoftext|>"):
+                # literal special tokens in text map to their ids, matching
+                # both HF (added-token matching) and OpenAI SimpleTokenizer
+                # (cache pre-seeded with the specials)
+                ids.append(self.encoder[word])
+                continue
             as_unicode = "".join(self._byte_encoder[b]
                                  for b in word.encode("utf-8"))
             ids.extend(self.encoder[t] for t in self._bpe(as_unicode))

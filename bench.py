@@ -1,8 +1,11 @@
 """Benchmark harness: training-step throughput + MFU on real hardware.
 
-Default invocation benches ALL THREE model families, one JSON line each —
-coop_cris, trans_seg, then the flagship coop_clipseg LAST (the driver
-tail-parses the final line). Each line reports:
+Default invocation benches the FLAGSHIP recipe ONLY (coop_clipseg) so the
+driver's bounded window always captures a JSON line (r3 lesson: the
+all-families default put coop_cris first and its compile alone could eat the
+whole window — BENCH_r03 recorded rc=124/parsed=null). The expensive
+families run behind `--model all` (or per-family), invoked by the builder
+via nohup and committed as BENCH_FAMILIES_r{N}.json. Each line reports:
 
   {"metric", "value" (steps/s/chip), "unit", "vs_baseline",
    "flops_per_step", "achieved_tflops", "mfu_pct", "samples"}
@@ -217,8 +220,12 @@ def bench_one(model_name: str, args) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="all",
-                    choices=("all", "coop_clipseg", "coop_cris", "trans_seg"))
+    ap.add_argument("--model", default="coop_clipseg",
+                    choices=("all", "coop_clipseg", "coop_cris", "trans_seg"),
+                    help="default is the flagship ONLY: the driver runs "
+                         "`python bench.py` in a bounded window and "
+                         "tail-parses the last JSON line; 'all' (builder-run "
+                         "via nohup) benches every family, flagship last")
     ap.add_argument("--strategy", default=None,
                     choices=("coop", "cocoop", "vpt", "maple",
                              "shared_separate", "shared_attn"),

@@ -38,8 +38,10 @@ def main():
                     help="input resolution (reference zsseg resizes shortest "
                          "side to 800 for FreeSOLO)")
     ap.add_argument("--fused", action="store_true",
-                    help="use the single-launch fused device path "
-                         "(requires alpha=1)")
+                    help="use the single-launch fused device path (works at "
+                         "ANY alpha — the device crop-resize branch covers "
+                         "alpha<1; measured 3.4 imgs/s at the reference's "
+                         "alpha=0.95 vs 0.015 for the host crop loop)")
     args = ap.parse_args()
 
     from tunevlseg_tpu.models.clip.config import CLIPSegConfig

@@ -394,3 +394,44 @@ def test_restore_keeps_historical_best(cpu_mesh, rng, tmp_path):
     restored = mgr.restore("last", state)
     np.testing.assert_array_equal(np.asarray(restored.rng),
                                   np.asarray(state.rng))
+
+
+def test_async_save_staging_preserves_old_checkpoint(rng, tmp_path):
+    """An in-flight async save must not destroy the previous checkpoint:
+    the write lands in a staging dir and the old tag dir + meta.json stay
+    intact until the save completes (a crash in the epoch-long async
+    window previously lost BOTH checkpoints while meta.json claimed one
+    existed)."""
+    import json as _json
+
+    from tunevlseg_tpu.training.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(tmp_path / "ck", monitor="val_dice")
+    cfgt = CLIPSegConfig.tiny()
+    model = CLIPSegForSegmentation(cfgt)
+    task = SegmentationTask(model, FreezeSpec(freeze_all=False))
+    batch = synthetic_batch(rng)
+    state, _ = task.init(jax.random.PRNGKey(0), batch)
+
+    mgr.save("last", state, {"epoch": 1})
+    mgr.wait()
+    assert (tmp_path / "ck" / "last").exists()
+    assert mgr.load_meta("last")["epoch"] == 1
+
+    # second save: before any drain point the finalized dir + meta must
+    # still describe the FIRST checkpoint, with the new one in staging
+    state2 = state._replace(step=state.step + 1)
+    mgr.save("last", state2, {"epoch": 2})
+    assert (tmp_path / "ck" / "last").exists()
+    assert _json.loads(
+        (tmp_path / "ck" / "last.json").read_text())["epoch"] == 1
+    # the new write is queued for finalization, not yet promoted (orbax
+    # itself writes under a tmp name until the async save completes)
+    assert [p[0] for p in mgr._pending] == ["last"]
+
+    mgr.wait()
+    assert not mgr._pending
+    assert not (tmp_path / "ck" / ".staging-last").exists()
+    assert mgr.load_meta("last")["epoch"] == 2
+    restored = mgr.restore("last", state)
+    assert int(restored.step) == int(state.step) + 1

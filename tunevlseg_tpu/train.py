@@ -179,37 +179,10 @@ def build_model_and_task(cfg: dict, tokenizer=None, pretrained=None):
     elif family == "trans_segmentor":
         common.pop("initializer_embeddings", None)
         from tunevlseg_tpu.models.trans_segmentor.model import (
-            TransformerSegmentor, TransSegmentorConfig)
+            TransformerSegmentor)
         from tunevlseg_tpu.training.optim import FreezeSpec
 
-        tiny = bool(cfg.get("tiny_model"))
-        if tiny:
-            base = TransSegmentorConfig.tiny()
-        elif m.get("encoder_family", "clip") == "siglip":
-            # real SigLIP tower dims (vocab 32000, width 768, 64 positions)
-            # — a CLIP-dimensioned config would mis-shape every converted
-            # SigLIP checkpoint tensor
-            base = TransSegmentorConfig.siglip_base()
-        else:
-            base = TransSegmentorConfig()
-        overrides = dict(
-            encoder_family=m.get("encoder_family", "clip"),
-            use_existing_proj=m.get("use_existing_proj", True),
-            add_pos_enc=m.get("add_pos_enc", False),
-            decoder_dropout=m.get("decoder_dropout", 0.1),
-            decoder_activation=m.get("decoder_activation", "relu"),
-            upsampler_act=m.get("upsampler_act", "relu"),
-            upsampler_norm=m.get("upsampler_norm", "layer"),
-            num_output_channels=m.get("num_output_channels", 1),
-            output_bias=m.get("output_bias"),
-            image_size=cfg.get("img_size"))
-        if not tiny:  # keep tiny's scaled-down decoder/upsampler dims
-            overrides.update(
-                decoder_num_layers=m.get("decoder_num_layers", 4),
-                decoder_num_heads=m.get("decoder_num_heads", 8),
-                decoder_dim_feedforward=m.get("decoder_dim_feedforward", 2048),
-                num_upsampler_layers=m.get("num_upsampler_layers", 5))
-        config = dataclasses.replace(base, **overrides)
+        config = trans_segmentor_config(cfg)
         model = TransformerSegmentor(config, dtype=dtype)
         # freeze_encoders only gates the towers; decoder/upsampler train
         always = (() if m.get("use_existing_proj", True)
@@ -222,6 +195,45 @@ def build_model_and_task(cfg: dict, tokenizer=None, pretrained=None):
         raise NotImplementedError(f"model family {family}")
 
     return model, _make_task(cfg, model, spec)
+
+
+def trans_segmentor_config(cfg: dict):
+    """TransSegmentorConfig from the composed cfg — the single source of
+    truth shared by build_model_and_task and load_pretrained, so a
+    checkpoint is always converted at the SAME dimensions the model is
+    built with (a canned config here would silently truncate a deeper
+    tower's checkpoint during conversion)."""
+    from tunevlseg_tpu.models.trans_segmentor.model import TransSegmentorConfig
+
+    m = cfg["model"]
+    tiny = bool(cfg.get("tiny_model"))
+    if tiny:
+        base = TransSegmentorConfig.tiny()
+    elif m.get("encoder_family", "clip") == "siglip":
+        # real SigLIP tower dims (vocab 32000, width 768, 64 positions)
+        # — a CLIP-dimensioned config would mis-shape every converted
+        # SigLIP checkpoint tensor
+        base = TransSegmentorConfig.siglip_base()
+    else:
+        base = TransSegmentorConfig()
+    overrides = dict(
+        encoder_family=m.get("encoder_family", "clip"),
+        use_existing_proj=m.get("use_existing_proj", True),
+        add_pos_enc=m.get("add_pos_enc", False),
+        decoder_dropout=m.get("decoder_dropout", 0.1),
+        decoder_activation=m.get("decoder_activation", "relu"),
+        upsampler_act=m.get("upsampler_act", "relu"),
+        upsampler_norm=m.get("upsampler_norm", "layer"),
+        num_output_channels=m.get("num_output_channels", 1),
+        output_bias=m.get("output_bias"),
+        image_size=cfg.get("img_size"))
+    if not tiny:  # keep tiny's scaled-down decoder/upsampler dims
+        overrides.update(
+            decoder_num_layers=m.get("decoder_num_layers", 4),
+            decoder_num_heads=m.get("decoder_num_heads", 8),
+            decoder_dim_feedforward=m.get("decoder_dim_feedforward", 2048),
+            num_upsampler_layers=m.get("num_upsampler_layers", 5))
+    return dataclasses.replace(base, **overrides)
 
 
 def _make_task(cfg: dict, model, spec):
@@ -262,22 +274,15 @@ def load_pretrained(cfg: dict):
         from tunevlseg_tpu.convert.trans_segmentor import (
             convert_hf_clip_model, convert_hf_siglip_model,
             convert_trans_segmentor, _Tree)
-        from tunevlseg_tpu.models.trans_segmentor.model import (
-            TransSegmentorConfig)
 
         raw = torch.load(path, map_location="cpu", weights_only=False)
         if isinstance(raw, dict) and "state_dict" in raw:
             raw = raw["state_dict"]
         sd = torch_state_dict_to_numpy(raw)
-        if cfg.get("tiny_model"):
-            config = TransSegmentorConfig.tiny()
-        elif m.get("encoder_family", "clip") == "siglip":
-            config = TransSegmentorConfig.siglip_base()
-        else:
-            config = TransSegmentorConfig()
-        import dataclasses
-        config = dataclasses.replace(
-            config, encoder_family=m.get("encoder_family", "clip"))
+        # derive the converter config from the SAME cfg overrides the model
+        # is built with — a canned config would silently truncate e.g. a
+        # deeper encoder's checkpoint (advisor r3)
+        config = trans_segmentor_config(cfg)
         if any(k.startswith("encoder.model.") for k in sd):
             # full reference TransformerSegmentor checkpoint
             return {"params": convert_trans_segmentor(sd, config)}

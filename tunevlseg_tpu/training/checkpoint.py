@@ -8,6 +8,7 @@ run (they never change during prompt tuning)."""
 from __future__ import annotations
 
 import json
+import shutil
 from pathlib import Path
 from typing import Any, Optional
 
@@ -26,6 +27,9 @@ class CheckpointManager:
         self.save_last = save_last
         self.best_value: Optional[float] = None
         self._ckptr = ocp.StandardCheckpointer()
+        # (tag, staging_path, meta) for async saves not yet swapped into
+        # their tag directory — see save() for the crash-safety contract
+        self._pending: list[tuple[str, Path, dict]] = []
 
     def _is_better(self, value: float) -> bool:
         if self.best_value is None:
@@ -33,10 +37,26 @@ class CheckpointManager:
         return value > self.best_value if self.mode == "max" else \
             value < self.best_value
 
-    def wait(self) -> None:
-        """Drain any in-flight async save (call before reading checkpoints
-        or ending the run)."""
+    def _drain(self) -> None:
+        """Wait for the in-flight async save, then atomically promote any
+        staged checkpoint into its tag directory and write its meta.json.
+        The old tag directory survives until the replacement is fully on
+        disk, so a crash mid-save loses only the new checkpoint, never
+        both (the meta.json claim and the directory stay consistent)."""
         self._ckptr.wait_until_finished()
+        for tag, staging, meta in self._pending:
+            final = self.dir / tag
+            if final.exists():
+                shutil.rmtree(final)
+            staging.rename(final)
+            (self.dir / f"{tag}.json").write_text(
+                json.dumps(meta, default=float))
+        self._pending.clear()
+
+    def wait(self) -> None:
+        """Drain any in-flight async save and finalize staged checkpoints
+        (call before reading checkpoints or ending the run)."""
+        self._drain()
 
     def save_frozen(self, frozen: Any) -> None:
         path = self.dir / "frozen"
@@ -47,22 +67,23 @@ class CheckpointManager:
     def save(self, tag: str, state: Any, extra: dict) -> None:
         """ASYNC save: orbax serializes device arrays in a background thread
         so the next epoch's compute overlaps the write (the reference's
-        Lightning ModelCheckpoint blocks the loop). The previous in-flight
-        save is drained first — required anyway before clearing the old tag
-        directory — and `wait()`/`restore()` drain before any read."""
-        self._ckptr.wait_until_finished()
-        path = (self.dir / tag).resolve()
+        Lightning ModelCheckpoint blocks the loop). The write lands in a
+        STAGING directory; the swap into the tag (and the meta.json write)
+        happens only at the next drain point, after wait_until_finished —
+        a crash during the epoch-long async window therefore keeps the old
+        checkpoint intact instead of losing both."""
+        self._drain()
+        staging = (self.dir / f".staging-{tag}").resolve()
+        if staging.exists():
+            shutil.rmtree(staging)
         payload = {"trainable": state.trainable, "opt_state": state.opt_state,
                    "step": state.step, "rng": state.rng,
                    "model_state": state.model_state}
-        if path.exists():
-            import shutil
-            shutil.rmtree(path)
-        self._ckptr.save(path, payload)
+        self._ckptr.save(staging, payload)
         # best_value rides every meta so a resumed run never demotes the
         # historical best on its first validation
         meta = {"best_value": self.best_value, **extra}
-        (self.dir / f"{tag}.json").write_text(json.dumps(meta, default=float))
+        self._pending.append((tag, staging, meta))
 
     def maybe_save_best(self, state: Any, metrics: dict, epoch: int,
                         extra: Optional[dict] = None) -> bool:
@@ -78,13 +99,14 @@ class CheckpointManager:
         return improved
 
     def load_meta(self, tag: str) -> dict:
+        self._drain()
         path = self.dir / f"{tag}.json"
         if not path.exists():
             return {}
         return json.loads(path.read_text())
 
     def restore(self, tag: str, state_like: Any) -> Any:
-        self._ckptr.wait_until_finished()
+        self._drain()
         path = (self.dir / tag).resolve()
         payload = {"trainable": state_like.trainable,
                    "opt_state": state_like.opt_state,

@@ -618,3 +618,23 @@ def test_phrasecut_experiment(phrasecut_root, tmp_path):
     ])
     assert "test_dice" in result and 0 <= result["test_dice"] <= 1
     assert np.isfinite(result["test_loss"])  # NaN smoke guard (tiny-vocab bug, r3)
+
+
+def test_eval_without_ckpt_raises(synth_root, tmp_path):
+    """Reference src/eval.py:107-111: evaluation refuses to run without a
+    checkpoint unless disable_ckpt — silently testing converted/random
+    weights is the silent-garbage failure class."""
+    from tunevlseg_tpu import eval as eval_mod
+
+    with pytest.raises(ValueError, match="ckpt_path"):
+        eval_mod.main([
+            "ds_name=kvasir_polyp",
+            f"paths.data_root={synth_root}",
+            f"paths.log_dir={tmp_path / 'logs'}",
+            f"vocab_path={VOCAB}",
+            "img_size=32", "+tiny_model=true",
+            "data.batch_size=4", "data.num_workers=1",
+            "trainer=debug", "trainer.n_devices=2",
+            "ckpt_path=null",
+            "exp_name=nockpt",
+        ])

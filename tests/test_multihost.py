@@ -69,6 +69,95 @@ print("MULTIHOST_OK", {pid}, m)
 """
 
 
+_PREDICT_WORKER = """
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+
+sys.path.insert(0, {repo!r})
+from tunevlseg_tpu.parallel import mesh as mesh_lib
+
+mesh_lib.initialize_distributed({{
+    "coordinator_address": {addr!r},
+    "num_processes": 2,
+    "process_id": {pid},
+}})
+from tunevlseg_tpu.data.pipeline import DataLoader, device_batch
+from tunevlseg_tpu.models.clip.config import CLIPSegConfig
+from tunevlseg_tpu.models.clipseg.model import CLIPSegForSegmentation
+from tunevlseg_tpu.training.loop import Trainer
+from tunevlseg_tpu.training.optim import FreezeSpec
+from tunevlseg_tpu.training.task import SegmentationTask
+
+class DS:
+    def __len__(self):
+        return 8
+    def __getitem__(self, i):
+        rng = np.random.default_rng(i)
+        return {{"image": rng.normal(size=(3, 32, 32)).astype(np.float32),
+                "mask": np.zeros((1, 32, 32), np.float32),
+                "input_ids": np.full((12,), 1 + i, np.int32),
+                "attention_mask": np.ones((12,), np.int32),
+                "mask_name": "m%d.png" % i,
+                "mask_shape": np.array([16, 16])}}
+
+loader = DataLoader(DS(), batch_size=2, shuffle=False, num_workers=1,
+                    num_shards=2, shard_index={pid})
+mesh = mesh_lib.make_mesh()
+model = CLIPSegForSegmentation(CLIPSegConfig.tiny())
+task = SegmentationTask(model, FreezeSpec(freeze_all=False))
+state, frozen = task.init(jax.random.PRNGKey(0),
+                          device_batch(next(iter(loader))))
+state = mesh_lib.replicate(mesh, state)
+trainer = Trainer(task=task, mesh=mesh,
+                  output_dir={out!r} + "/trainer{pid}")
+outs = trainer.predict(state, frozen, loader,
+                       save_dir={out!r} + "/masks", use_best=False)
+print("PREDICT_OK", {pid}, sorted(r["mask_name"] for r in outs))
+"""
+
+
+@pytest.mark.slow
+def test_two_process_predict_writes_both_shards(tmp_path):
+    """Multi-host predict: each process writes ITS shard of prediction
+    masks (stride sharding) to the shared save_dir — the union is the full
+    test set (the reference's save_utils has no multi-host story; r3
+    verdict item 5: don't skip predict, shard it)."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    addr = f"localhost:{port}"
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c",
+             _PREDICT_WORKER.format(repo=REPO, addr=addr, pid=pid,
+                                    out=str(tmp_path))],
+            env=env, cwd=tmp_path, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid}:\n{out[-2000:]}"
+        # DistributedSampler stride: proc p owns samples p, p+2, p+4, p+6
+        mine = sorted(f"m{i}.png" for i in range(pid, 8, 2))
+        assert f"PREDICT_OK {pid} {mine}" in out, out[-2000:]
+    written = sorted(q.name for q in (tmp_path / "masks").iterdir())
+    assert written == [f"m{i}.png" for i in range(8)]
+
+
 @pytest.mark.slow
 def test_two_process_cpu_distributed(tmp_path):
     with socket.socket() as s:

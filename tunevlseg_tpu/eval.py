@@ -34,6 +34,15 @@ def main(argv: Optional[list[str]] = None) -> dict:
 
 
 def _run(cfg: dict) -> dict:
+    ckpt_path = cfg.get("ckpt_path")
+    if not cfg.get("disable_ckpt") and not ckpt_path:
+        # reference src/eval.py:107-111 refuses to evaluate without a
+        # checkpoint unless disable_ckpt — silently testing converted/
+        # random weights is exactly the silent-garbage failure class
+        raise ValueError(
+            "ckpt_path is required for evaluation; pass ckpt_path=... "
+            "or set disable_ckpt=true to evaluate converted/initial "
+            "weights deliberately")
     seed = cfg.get("seed", 0)
     tokenizer = load_default_tokenizer(cfg.get("vocab_path"),
                                        family=cfg.get("tokenizer_family", "clip"))
@@ -53,8 +62,7 @@ def _run(cfg: dict) -> dict:
     state, frozen = task.init(jax.random.PRNGKey(seed), device_batch(sample),
                               params=params, variables=variables)
 
-    ckpt_path = cfg.get("ckpt_path")
-    if not cfg.get("disable_ckpt") and ckpt_path:
+    if not cfg.get("disable_ckpt"):
         ckpt = CheckpointManager(ckpt_path)
         tag = "best" if (Path(ckpt_path) / "best").exists() else "last"
         state = ckpt.restore(tag, state)

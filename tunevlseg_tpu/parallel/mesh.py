@@ -79,6 +79,34 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
+def host_local_rows(mesh: Mesh, arr, local_n: int):
+    """Map a data-sharded GLOBAL array back to THIS process's rows.
+
+    `arr` is a jit output sharded over the data axis whose global batch was
+    assembled from per-process local slices (shard_batch). Returns
+    `(rows, idx)`: `rows[k]` is the output for row `idx[k]` of this host's
+    LOCAL batch. The mapping is recovered by pushing a local row-id array
+    through the very same shard_batch placement, so it is exact whatever
+    process->global-row layout `make_array_from_process_local_data` chose —
+    this is what lets every host write its own shard of predictions instead
+    of skipping predict on multi-host runs (reference save_utils has no
+    multi-host story at all)."""
+    ids = shard_batch(mesh, {"i": np.arange(local_n, dtype=np.int32)})["i"]
+    id_by_dev = {s.device: np.asarray(s.data).reshape(-1)
+                 for s in ids.addressable_shards}
+    rows, idx, seen = [], [], set()
+    for s in arr.addressable_shards:
+        # with model_parallel > 1 each batch row is replicated across the
+        # model axis — keep one copy per distinct global row range
+        key = tuple((sl.start, sl.stop) for sl in s.index[:1])
+        if key in seen:
+            continue
+        seen.add(key)
+        rows.append(np.asarray(s.data))
+        idx.append(id_by_dev[s.device])
+    return np.concatenate(rows, 0), np.concatenate(idx, 0)
+
+
 def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, replicated(mesh)), tree)

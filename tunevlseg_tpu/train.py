@@ -417,13 +417,12 @@ def _run(cfg: dict) -> dict:
     if cfg.get("test", True):
         result.update(trainer.test(state, frozen, loaders["test"]))
     if cfg.get("predict", False):
-        if pc > 1:
-            log.warning("predict skipped on multi-host runs (prediction "
-                        "outputs are host-sharded)")
-        else:
-            out_dir = Path(cfg["paths"]["output_dir"]) / "output_masks"
-            trainer.predict(state, frozen, loaders["test"], save_dir=out_dir)
-            result["output_masks_dir"] = str(out_dir)
+        # multi-host: every process writes its own shard of predictions
+        # (mask names are globally unique, so a shared out_dir composes the
+        # full set; on disjoint filesystems each host keeps its shard)
+        out_dir = Path(cfg["paths"]["output_dir"]) / "output_masks"
+        trainer.predict(state, frozen, loaders["test"], save_dir=out_dir)
+        result["output_masks_dir"] = str(out_dir)
     log.info(f"done: {result}")
     return result
 

@@ -304,11 +304,19 @@ class Trainer:
         outputs = []
         for batch in loader:
             sharded = mesh_lib.shard_batch(self.mesh, device_batch(batch))
-            preds = np.asarray(self._predict_step(state, frozen, sharded))
-            for j in range(len(batch["mask_name"])):
+            preds_g = self._predict_step(state, frozen, sharded)
+            if jax.process_count() > 1:
+                # every host writes ITS shard of predictions (rows map back
+                # to the local loader batch via the shard placement)
+                preds, rows = mesh_lib.host_local_rows(
+                    self.mesh, preds_g, len(batch["mask_name"]))
+            else:
+                preds = np.asarray(preds_g)
+                rows = np.arange(len(batch["mask_name"]))
+            for k, j in enumerate(rows):
                 if batch["valid"][j] == 0:
                     continue
-                rec = {"pred": preds[j, 0],
+                rec = {"pred": preds[k, 0],
                        "mask_name": batch["mask_name"][j],
                        "mask_shape": batch["mask_shape"][j]}
                 outputs.append(rec)

@@ -251,3 +251,122 @@ def test_slide_inference_semantics():
             count[:, :, y1:y1 + crop[0], x1:x1 + crop[1]] += 1
     assert count.min() >= 1
     np.testing.assert_allclose(got, preds / count, rtol=1e-5, atol=1e-6)
+
+
+def test_seg_ce_and_denseclip_loss_match_torch_f64():
+    """f64 oracle for the training loss (reference denseclip.py:206-258 +
+    mmseg CrossEntropyLoss): decode CE with ignore_index=255 and the
+    avg_non_ignore=False quirk (mean divides by ALL pixels), plus the
+    identity-head aux CE over score_map/tau resized to the label grid at
+    weight 0.4."""
+    import torch.nn.functional as F
+
+    from tunevlseg_tpu.models.denseclip.loss import (cross_entropy_seg,
+                                                     denseclip_losses)
+
+    rng = np.random.default_rng(0)
+    B, K, H, W = 2, 5, 16, 16
+    logits = rng.normal(size=(B, K, H, W)).astype(np.float32)
+    score = (0.3 * rng.normal(size=(B, K, 4, 4))).astype(np.float32)
+    labels = rng.integers(0, K, size=(B, H, W)).astype(np.int32)
+    labels[0, :5] = 255                      # ignored region
+    labels[1, :, :3] = 255
+
+    lt = torch.tensor(logits, dtype=torch.float64)
+    lab = torch.tensor(labels, dtype=torch.long)
+    el = F.cross_entropy(lt, lab, ignore_index=255, reduction="none")
+    ref_decode = float(el.sum() / lab.numel())          # mean over ALL px
+    id_t = F.interpolate(torch.tensor(score, dtype=torch.float64) / 0.07,
+                         size=(H, W), mode="bilinear", align_corners=False)
+    el2 = F.cross_entropy(id_t, lab, ignore_index=255, reduction="none")
+    ref_identity = float(el2.sum() / lab.numel())
+
+    got = denseclip_losses(jnp.asarray(logits), jnp.asarray(score),
+                           jnp.asarray(labels))
+    np.testing.assert_allclose(float(got["loss_decode"]), ref_decode,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(got["loss_aux_identity"]), ref_identity,
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(float(got["loss"]),
+                               ref_decode + 0.4 * ref_identity,
+                               rtol=1e-4, atol=1e-4)
+
+    # the OTHER averaging mode must equal torch's reduction="mean"
+    ref_mean = float(F.cross_entropy(lt, lab, ignore_index=255))
+    got_mean = float(cross_entropy_seg(jnp.asarray(logits),
+                                       jnp.asarray(labels),
+                                       avg_non_ignore=True))
+    np.testing.assert_allclose(got_mean, ref_mean, rtol=1e-5, atol=1e-5)
+    # and the two modes genuinely differ on this input
+    assert abs(ref_mean - ref_decode) > 1e-3
+
+
+def test_denseclip_train_smoke():
+    """Tiny-config training: 20 jitted steps on the CPU mesh decrease the
+    loss; the text encoder (lr_mult 0.0) never moves; backbone BN running
+    stats update (bn_train); the poly+warmup schedule matches mmcv at the
+    endpoints."""
+    from tunevlseg_tpu.models.denseclip.model import DenseCLIP
+    from tunevlseg_tpu.parallel import mesh as mesh_lib
+    from tunevlseg_tpu.training.denseclip_task import (DenseCLIPTask,
+                                                       poly_warmup_schedule)
+
+    cfg = DenseCLIPConfig.tiny(head_dropout=0.0)
+    rng = np.random.default_rng(1)
+    class_ids = rng.integers(1, cfg.vocab_size - 1,
+                             (cfg.num_classes, cfg.text_context_length)
+                             ).astype(np.int32)
+    class_ids[:, -1] = cfg.vocab_size - 1
+    model = DenseCLIP(cfg, class_token_ids=class_ids, bn_train=True)
+    task = DenseCLIPTask(model, learning_rate=3e-3, total_iters=200,
+                         warmup_iters=5)
+
+    B, H = 8, 64
+    images = rng.normal(size=(B, 3, H, H)).astype(np.float32)
+    labels = np.zeros((B, H, H), np.int32)
+    yy, xx = np.mgrid[:H, :H]
+    labels[:, :] = ((yy // 16 + xx // 16) % cfg.num_classes)
+    labels[:, :4] = 255                       # ignored band
+    batch = {"image": images, "label": labels}
+
+    mesh = mesh_lib.make_mesh()
+    state, frozen = task.init(jax.random.PRNGKey(0), batch)
+    text0 = jax.tree_util.tree_map(np.asarray, frozen["params"])
+    bn0 = jax.tree_util.tree_map(np.asarray, state.model_state)
+    assert "text_encoder" not in state.trainable
+    assert "batch_stats" in state.model_state
+
+    state = mesh_lib.replicate(mesh, state)
+    frozen = mesh_lib.replicate(mesh, frozen)
+    train, evals = task.compile_steps(mesh)
+    sharded = mesh_lib.shard_batch(mesh, batch)
+
+    losses = []
+    for _ in range(20):
+        state, m = train(state, frozen, sharded)
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(losses)), losses
+    assert losses[-1] < losses[0], losses
+    assert 0.0 <= float(m["acc"]) <= 1.0
+
+    # text encoder untouched; BN stats moved
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, np.asarray(b)),
+        text0, frozen["params"])
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(a - np.asarray(b)).max()),
+        bn0, state.model_state)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+    ev = evals(state, frozen, sharded)
+    assert np.isfinite(float(ev["loss"]))
+
+    # mmcv poly schedule endpoints
+    sched = poly_warmup_schedule(1e-4, 80_000, warmup_iters=1500,
+                                 warmup_ratio=1e-6)
+    np.testing.assert_allclose(float(sched(0)), 1e-4 * 1e-6,
+                               rtol=0.05)  # f32 rounding of (1 - 1e-6)
+    np.testing.assert_allclose(float(sched(1500)),
+                               (1e-4 - 1e-6) * (1 - 1500 / 80_000) ** 0.9
+                               + 1e-6, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(80_000)), 1e-6, rtol=1e-5)

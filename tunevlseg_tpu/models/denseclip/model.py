@@ -64,6 +64,10 @@ class DenseCLIPConfig:
     score_concat_index: int = 3
     fpn_out_channels: int = 256
     head_channels: int = 128
+    head_dropout: float = 0.1          # decode_head dropout_ratio
+    # training (denseclip_r50.py identity_head loss_weight; denseclip.py:42)
+    tau: float = 0.07
+    identity_weight: float = 0.4
     # ViT backbone variant (denseclip_fpn_vit-b_640x640_80k.py)
     backbone_type: str = "resnet"      # "resnet" | "vit"
     patch_size: int = 16
@@ -151,10 +155,14 @@ class CLIPResNetWithAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray):
+    def __call__(self, x: jnp.ndarray,
+                 use_running_average: Optional[bool] = None):
         c = self.config
         w = c.vision_width
-        ura = self.use_running_average
+        # per-call override: the trainable DenseCLIP flips the backbone
+        # into batch-stats BN during train steps (torch train() semantics)
+        ura = (self.use_running_average if use_running_average is None
+               else use_running_average)
         for i, (cin, cout) in enumerate(((3, w // 2), (w // 2, w // 2),
                                          (w // 2, w))):
             x = Conv2d(cin, cout, 3, stride=2 if i == 0 else 1, padding=1,
@@ -470,15 +478,19 @@ class FPNNeck(nn.Module):
 
 class FPNHead(nn.Module):
     """mmseg FPNHead: per-level conv(+GN+relu) scale heads upsampled to the
-    finest stride, summed, 1x1 classifier."""
+    finest stride, summed, 1x1 classifier. `dropout_ratio` is mmseg's
+    channel dropout (nn.Dropout2d) before the classifier — active only in
+    training (denseclip_r50.py decode_head dropout_ratio=0.1)."""
 
     num_classes: int
     in_channels: int
     channels: int
+    dropout_ratio: float = 0.0
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feats: Sequence[jnp.ndarray]):
+    def __call__(self, feats: Sequence[jnp.ndarray],
+                 deterministic: bool = True):
         target_hw = feats[0].shape[2:]
         total = None
         for i, f in enumerate(feats):
@@ -492,6 +504,10 @@ class FPNHead(nn.Module):
             if h.shape[2:] != target_hw:
                 h = resize_2d(h, target_hw, "bilinear")
             total = h if total is None else total + h
+        if self.dropout_ratio > 0:
+            # Dropout2d: drop whole channels (broadcast over H, W)
+            total = nn.Dropout(self.dropout_ratio,
+                               broadcast_dims=(2, 3))(total, deterministic)
         return Conv2d(self.channels, self.num_classes, 1, dtype=self.dtype,
                       name="cls_seg")(total)
 
@@ -502,6 +518,10 @@ class DenseCLIP(nn.Module):
 
     config: DenseCLIPConfig
     class_token_ids: Any = None   # (K, text_context_length) np array
+    # train-mode BN in the ResNet backbone (torch train() semantics for the
+    # reference's mmseg training; running stats update as a batch_stats
+    # side effect). Inference-only uses keep the default False.
+    bn_train: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -530,17 +550,21 @@ class DenseCLIP(nn.Module):
         self.neck = FPNNeck(stage_channels, c.fpn_out_channels,
                             dtype=self.dtype, name="neck")
         self.decode_head = FPNHead(c.num_classes, c.fpn_out_channels,
-                                   c.head_channels, dtype=self.dtype,
-                                   name="decode_head")
+                                   c.head_channels,
+                                   dropout_ratio=c.head_dropout,
+                                   dtype=self.dtype, name="decode_head")
 
     def __call__(self, images: jnp.ndarray,
                  class_token_ids: Optional[jnp.ndarray] = None,
-                 deterministic: bool = True) -> jnp.ndarray:
+                 deterministic: bool = True,
+                 with_score_map: bool = False):
         c = self.config
         token_ids = (class_token_ids if class_token_ids is not None
                      else jnp.asarray(self.class_token_ids))
+        bn_ura = (not self.bn_train) or deterministic
         feats = (self.backbone(images, deterministic)
-                 if c.backbone_type == "vit" else self.backbone(images))
+                 if c.backbone_type == "vit"
+                 else self.backbone(images, use_running_average=bn_ura))
         x_orig = list(feats[:4])
         global_feat, visual_embeddings = feats[4]
 
@@ -564,8 +588,13 @@ class DenseCLIP(nn.Module):
         x_orig[idx] = jnp.concatenate([x_orig[idx], score_map], axis=1)
 
         neck_out = self.neck(x_orig)
-        logits = self.decode_head(neck_out)
-        return resize_2d(logits, images.shape[2:], "bilinear")
+        logits = self.decode_head(neck_out, deterministic)
+        logits = resize_2d(logits, images.shape[2:], "bilinear")
+        if with_score_map:
+            # the raw stride-32 score map feeds the identity-head auxiliary
+            # training loss (models/denseclip/loss.py)
+            return logits, score_map
+        return logits
 
 
 class CLIPFPNBaseline(nn.Module):

@@ -31,6 +31,14 @@ CASES = [
     "covid-19 2023 100%",
     "<|startoftext|> tricks <|endoftext|>",  # literal special tokens in text
     "",
+    # non-ASCII battery bounding the ftfy approximation (VERDICT r3 #8):
+    # CJK, emoji, and the NFC-sensitive classes (full-width forms,
+    # ligatures, superscripts, ellipsis) that NFKC used to fold
+    "病変の境界ポリープ",                     # CJK
+    "ct scan 🏥 of 肝臓 tumor ✨",            # emoji + CJK mixed
+    "naïve café 官能 🤖 ☺️",                 # accents + CJK + emoji + VS16
+    "ＰＯＬＹＰ ｓｃａｎ",                   # full-width latin
+    "ﬁbrous ﬂuid x² …",                      # ligature/superscript/ellipsis
 ]
 
 

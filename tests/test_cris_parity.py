@@ -113,6 +113,31 @@ def test_e2e_cris_parity(img_mult):
     np.testing.assert_allclose(got, ref_out, atol=TOL, rtol=1e-3)
 
 
+def test_backbone_nhwc_equivalence():
+    """The NHWC/einsum backbone (r4 conv-floor fix) must be numerically
+    equivalent to the NCHW formulation on IDENTICAL params — the param tree
+    is layout-independent (torch OIHW weights, per-channel BN vectors)."""
+    from tunevlseg_tpu.models.cris.resnet import ModifiedResNet
+
+    kw = dict(layers=(1, 1, 1, 1), output_dim=32, heads=4,
+              input_resolution=64, width=16)
+    m_nchw = ModifiedResNet(layout="nchw", **kw)
+    m_nhwc = ModifiedResNet(layout="nhwc", **kw)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 3, 64, 64)),
+                    jnp.float32)
+    variables = m_nchw.init(jax.random.PRNGKey(0), x)
+    # identical param trees: nhwc init must produce the same structure
+    chex_tree = jax.tree_util.tree_structure(variables)
+    assert jax.tree_util.tree_structure(
+        m_nhwc.init(jax.random.PRNGKey(0), x)) == chex_tree
+    outs_a = m_nchw.apply(variables, x)
+    outs_b = m_nhwc.apply(variables, x)
+    for a, b in zip(outs_a, outs_b):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-5)
+
+
 @pytest.mark.parametrize("strategy,depth", [("coop", 1), ("coop", 2),
                                             ("cocoop", 1)])
 def test_coop_cris_parity(strategy, depth):

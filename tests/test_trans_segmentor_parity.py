@@ -129,3 +129,31 @@ def test_siglip_encoder_family_forward():
                       jnp.asarray(mask))
     assert out.shape == (2, 1, 32, 32)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_upsampler_nhwc_equivalence():
+    """The channels-last upsampler (r4 conv-floor treatment) must match the
+    NCHW formulation on IDENTICAL params — including the per-stage full
+    (C, H, W) LayerNorm affine, whose params keep the layout-independent
+    shape (_SampleNormNHWC)."""
+    import jax
+
+    from tunevlseg_tpu.models.trans_segmentor.model import Upsampler
+
+    for norm in ("layer", "group", None):
+        import dataclasses as dc
+        cfg = dc.replace(TransSegmentorConfig.tiny(), image_size=64,
+                         projection_dim=20, num_upsampler_layers=2,
+                         upsampler_norm=norm, upsampler_group_channels=5)
+        a = Upsampler(cfg, layout="nchw")
+        b = Upsampler(cfg, layout="nhwc")
+        x = jnp.asarray(np.random.default_rng(0).normal(
+            size=(2, 20, 4, 4)), jnp.float32)
+        va = a.init(jax.random.PRNGKey(0), x)
+        assert (jax.tree_util.tree_structure(b.init(jax.random.PRNGKey(0), x))
+                == jax.tree_util.tree_structure(va))
+        out_a = a.apply(va, x)
+        out_b = b.apply(va, x)
+        assert out_a.shape == out_b.shape
+        np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                                   atol=2e-5, rtol=1e-5)

@@ -26,6 +26,7 @@ CASES = [
     "benign lesions in the left lobe.",
     "ultrasound  (2 cm)",                # double space + parens + digits
     "café lesion",                  # accent strip: café -> cafe (-> UNK)
+    "肝臓 lesion 🏥",               # CJK chars split per-char (-> UNKs) + emoji
     "polyp" * 30,                        # >100 chars -> single [UNK]
     "",                                  # empty
     "\tthe\nphoto ",                     # whitespace forms

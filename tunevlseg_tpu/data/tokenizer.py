@@ -52,8 +52,16 @@ def _byte_unicode_table() -> dict[int, str]:
 
 
 def _clean_text(text: str) -> str:
+    """ftfy-approximate cleanup (the reference's basic_clean,
+    clip/simple_tokenizer.py): double html-unescape + NFC + whitespace
+    collapse. ftfy's default normalization IS NFC — NFKC (used here
+    pre-r4) folded full-width forms/ligatures/ellipsis and diverged from
+    both ftfy and HF's fast tokenizers on those classes (oracled in
+    tests/test_clip_bpe_parity.py). Mojibake REPAIR (ftfy's other half) is
+    intentionally not replicated: garbage-encoded prompts tokenize as
+    their literal bytes, same as HF fast tokenizers."""
     text = html.unescape(html.unescape(text))
-    text = unicodedata.normalize("NFKC", text)
+    text = unicodedata.normalize("NFC", text)
     text = re.sub(r"\s+", " ", text)
     return text.strip()
 
@@ -222,8 +230,19 @@ class WordPieceTokenizer:
             return True
         return unicodedata.category(ch).startswith("P")
 
+    @staticmethod
+    def _is_cjk(cp: int) -> bool:
+        """BERT BasicTokenizer's CJK ideograph ranges — each such char is
+        space-padded into its OWN word before wordpiece (so unknown CJK
+        yields one [UNK] per character, oracled vs BertTokenizerFast)."""
+        return (0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
+                or 0x20000 <= cp <= 0x2A6DF or 0x2A700 <= cp <= 0x2B73F
+                or 0x2B740 <= cp <= 0x2B81F or 0x2B820 <= cp <= 0x2CEAF
+                or 0xF900 <= cp <= 0xFAFF or 0x2F800 <= cp <= 0x2FA1F)
+
     def _basic_tokenize(self, text: str) -> list[str]:
         text = _clean_text(text)
+        text = "".join(f" {c} " if self._is_cjk(ord(c)) else c for c in text)
         if self.lowercase:
             text = text.lower()
             # strip accents (BERT uncased behavior)

@@ -23,6 +23,7 @@ coop_cris.py:21-242):
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Optional, Sequence
 
 import jax.numpy as jnp
@@ -156,10 +157,20 @@ class CRISForSegmentation(nn.Module):
     def setup(self):
         c = self.config
         ura = not self.bn_train
+        # Channels-last backbone option (TUNEVLSEG_CRIS_NHWC=1): 1x1s as
+        # einsums + NHWC 3x3s, which measured -16..-44% per-op in isolation
+        # (scripts/micro_conv_nhwc.py) — but the interleaved e2e A/B
+        # (scripts/ab_env.py, docs/ROOFLINE.md "CRIS e2e layout A/B") showed
+        # 0.99x: XLA's whole-graph layout assignment already cancels the
+        # per-op layout cost the micro-bench measured. NCHW stays the
+        # default; the NHWC formulation is kept equivalence-tested for
+        # future hardware/compiler generations.
+        layout = ("nhwc" if os.environ.get("TUNEVLSEG_CRIS_NHWC", "0") == "1"
+                  else "nchw")
         self.backbone_visual = ModifiedResNet(
             tuple(c.vision_layers), c.embed_dim, c.vision_heads,
             c.image_resolution, c.vision_width, use_running_average=True,
-            dtype=self.dtype, name="visual")
+            layout=layout, dtype=self.dtype, name="visual")
         self.backbone_text = CLIPTextTransformer(c, dtype=self.dtype,
                                                  name="text")
         self.neck = FPN(tuple(c.fpn_in), tuple(c.fpn_out),

@@ -26,12 +26,15 @@ Dtype = Any
 
 
 class BatchNorm2d(nn.Module):
-    """torch BatchNorm2d semantics on NCHW (momentum 0.1, eps 1e-5)."""
+    """torch BatchNorm2d semantics (momentum 0.1, eps 1e-5). `layout`
+    selects the channel axis (NCHW default; NHWC for the einsum-layout
+    CRIS backbone) — the parameters/stats are layout-independent."""
 
     features: int
     use_running_average: bool = True
     momentum: float = 0.1
     epsilon: float = 1e-5
+    layout: str = "nchw"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -42,21 +45,22 @@ class BatchNorm2d(nn.Module):
                                 lambda: jnp.zeros((self.features,)))
         ra_var = self.variable("batch_stats", "running_var",
                                lambda: jnp.ones((self.features,)))
+        nhwc = self.layout == "nhwc"
+        axes = (0, 1, 2) if nhwc else (0, 2, 3)
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
             x32 = x.astype(jnp.float32)
-            axes = (0, 2, 3)
             mean = jnp.mean(x32, axes)
             var = jnp.var(x32, axes)
             if not self.is_initializing():
-                n = x.shape[0] * x.shape[2] * x.shape[3]
+                n = x.size // x.shape[3 if nhwc else 1]
                 unbiased = var * n / max(n - 1, 1)
                 ra_mean.value = (1 - self.momentum) * ra_mean.value \
                     + self.momentum * mean
                 ra_var.value = (1 - self.momentum) * ra_var.value \
                     + self.momentum * unbiased
-        shape = (1, -1, 1, 1)
+        shape = (1, 1, 1, -1) if nhwc else (1, -1, 1, 1)
         inv = jax.lax.rsqrt(var + self.epsilon)
         out = (x.astype(jnp.float32) - mean.reshape(shape)) * inv.reshape(shape)
         out = out * scale.reshape(shape) + bias.reshape(shape)
@@ -106,11 +110,19 @@ def avg_pool_nchw(x: jnp.ndarray, window: int) -> jnp.ndarray:
     ) / (window * window)
 
 
+def avg_pool_nhwc(x: jnp.ndarray, window: int) -> jnp.ndarray:
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add,
+        (1, window, window, 1), (1, window, window, 1), "VALID",
+    ) / (window * window)
+
+
 class Bottleneck(nn.Module):
     inplanes: int
     planes: int
     stride: int = 1
     use_running_average: bool = True
+    layout: str = "nchw"
     dtype: Dtype = jnp.float32
 
     EXPANSION = 4
@@ -118,26 +130,29 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         ura = self.use_running_average
-        out = Conv2d(self.inplanes, self.planes, 1, use_bias=False,
-                     dtype=self.dtype, name="conv1")(x)
-        out = nn.relu(BatchNorm2d(self.planes, ura, name="bn1")(out))
-        out = Conv2d(self.planes, self.planes, 3, padding=1, use_bias=False,
-                     dtype=self.dtype, name="conv2")(out)
-        out = nn.relu(BatchNorm2d(self.planes, ura, name="bn2")(out))
+        lo = self.layout
+        pool = avg_pool_nhwc if lo == "nhwc" else avg_pool_nchw
+        bn = lambda f, name: BatchNorm2d(f, ura, layout=lo, name=name)
+        cv = lambda ci, co, k, p, name: Conv2d(
+            ci, co, k, padding=p, use_bias=False, layout=lo,
+            dtype=self.dtype, name=name)
+        out = cv(self.inplanes, self.planes, 1, 0, "conv1")(x)
+        out = nn.relu(bn(self.planes, "bn1")(out))
+        out = cv(self.planes, self.planes, 3, 1, "conv2")(out)
+        out = nn.relu(bn(self.planes, "bn2")(out))
         if self.stride > 1:
-            out = avg_pool_nchw(out, self.stride)
-        out = Conv2d(self.planes, self.planes * self.EXPANSION, 1,
-                     use_bias=False, dtype=self.dtype, name="conv3")(out)
-        out = BatchNorm2d(self.planes * self.EXPANSION, ura, name="bn3")(out)
+            out = pool(out, self.stride)
+        out = cv(self.planes, self.planes * self.EXPANSION, 1, 0,
+                 "conv3")(out)
+        out = bn(self.planes * self.EXPANSION, "bn3")(out)
 
         identity = x
         if self.stride > 1 or self.inplanes != self.planes * self.EXPANSION:
-            identity = x if self.stride == 1 else avg_pool_nchw(x, self.stride)
-            identity = Conv2d(self.inplanes, self.planes * self.EXPANSION, 1,
-                              use_bias=False, dtype=self.dtype,
-                              name="downsample_conv")(identity)
-            identity = BatchNorm2d(self.planes * self.EXPANSION, ura,
-                                   name="downsample_bn")(identity)
+            identity = x if self.stride == 1 else pool(x, self.stride)
+            identity = cv(self.inplanes, self.planes * self.EXPANSION, 1, 0,
+                          "downsample_conv")(identity)
+            identity = bn(self.planes * self.EXPANSION,
+                          "downsample_bn")(identity)
         return nn.relu(out + identity)
 
 
@@ -151,15 +166,25 @@ class AttentionPool2d(nn.Module):
     num_heads: int
     output_dim: int
     use_running_average: bool = True
+    layout: str = "nchw"                 # layout of the INPUT map
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        b, c, h, w = x.shape
+        """Returns (B, output_dim, H, W) — NCHW regardless of input layout
+        (from NHWC the sequence view is a free reshape, no transpose)."""
+        nhwc = self.layout == "nhwc"
+        if nhwc:
+            b, h, w, c = x.shape
+        else:
+            b, c, h, w = x.shape
         res = Conv2d(self.embed_dim, self.output_dim, 1, use_bias=False,
-                     dtype=self.dtype, name="connect_conv")(x)
+                     layout=self.layout, dtype=self.dtype,
+                     name="connect_conv")(x)
         res = BatchNorm2d(self.output_dim, self.use_running_average,
-                          name="connect_bn")(res)
+                          layout=self.layout, name="connect_bn")(res)
+        if nhwc:
+            res = res.transpose(0, 3, 1, 2)
 
         pos = self.param("positional_embedding",
                          nn.initializers.normal(self.embed_dim ** -0.5),
@@ -171,7 +196,8 @@ class AttentionPool2d(nn.Module):
         grid = resize_2d(grid, (h, w), "bicubic")
         pos_hw = grid.reshape(self.embed_dim, h * w).T  # (hw, C)
 
-        seq = x.reshape(b, c, h * w).transpose(0, 2, 1)   # (B, hw, C)
+        seq = (x.reshape(b, h * w, c) if nhwc
+               else x.reshape(b, c, h * w).transpose(0, 2, 1))  # (B, hw, C)
         seq = seq + pos_hw[None].astype(seq.dtype)
 
         dense = lambda feats, name: nn.Dense(feats, dtype=self.dtype, name=name)
@@ -188,25 +214,40 @@ class AttentionPool2d(nn.Module):
 
 
 class ModifiedResNet(nn.Module):
+    """`layout="nhwc"` runs the ENTIRE backbone channels-last with 1x1s
+    lowered to einsums — measured r4 (scripts/micro_conv_nhwc.py on chip,
+    b64@416): -16% on the C<=64 3x3s, -24..-44% on every 1x1 vs the NCHW
+    conv emitter (the r3 conv-floor, docs/ROOFLINE.md). The boundary stays
+    NCHW: input is transposed once on entry and the (C3, C4) pyramid once
+    on exit, so the FPN/decoder and all converters are unchanged."""
+
     layers: Sequence[int] = (3, 4, 6, 3)          # RN50
     output_dim: int = 1024
     heads: int = 32
     input_resolution: int = 224
     width: int = 64
     use_running_average: bool = True
+    layout: str = "nchw"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
-        """(B, 3, H, W) -> (C3, C4, C5') with strides 8/16/32."""
+        """(B, 3, H, W) -> (C3, C4, C5') with strides 8/16/32 (all NCHW)."""
         ura = self.use_running_average
+        lo = self.layout
+        nhwc = lo == "nhwc"
+        if nhwc:
+            x = x.transpose(0, 2, 3, 1)
+        pool = avg_pool_nhwc if nhwc else avg_pool_nchw
         w = self.width
         for i, (cin, cout) in enumerate(((3, w // 2), (w // 2, w // 2),
                                          (w // 2, w))):
             x = Conv2d(cin, cout, 3, stride=2 if i == 0 else 1, padding=1,
-                       use_bias=False, dtype=self.dtype, name=f"conv{i+1}")(x)
-            x = nn.relu(BatchNorm2d(cout, ura, name=f"bn{i+1}")(x))
-        x = avg_pool_nchw(x, 2)
+                       use_bias=False, layout=lo, dtype=self.dtype,
+                       name=f"conv{i+1}")(x)
+            x = nn.relu(BatchNorm2d(cout, ura, layout=lo,
+                                    name=f"bn{i+1}")(x))
+        x = pool(x, 2)
 
         inplanes = w
         feats = []
@@ -215,12 +256,15 @@ class ModifiedResNet(nn.Module):
             stride = 1 if stage == 1 else 2
             for b in range(blocks):
                 x = Bottleneck(inplanes, planes, stride if b == 0 else 1,
-                               ura, dtype=self.dtype,
+                               ura, layout=lo, dtype=self.dtype,
                                name=f"layer{stage}_{b}")(x)
                 inplanes = planes * Bottleneck.EXPANSION
             feats.append(x)
 
         c5 = AttentionPool2d(self.input_resolution // 32, w * 32, self.heads,
-                             self.output_dim, ura, dtype=self.dtype,
-                             name="attnpool")(feats[3])
+                             self.output_dim, ura, layout=lo,
+                             dtype=self.dtype, name="attnpool")(feats[3])
+        if nhwc:
+            return (feats[1].transpose(0, 3, 1, 2),
+                    feats[2].transpose(0, 3, 1, 2), c5)
         return feats[1], feats[2], c5

@@ -25,8 +25,10 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Any, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -37,7 +39,7 @@ from tunevlseg_tpu.models.clip.vision import CLIPVisionTower
 from tunevlseg_tpu.models.cris.layers import sincos_pos_1d
 from tunevlseg_tpu.nn.conv import Conv2d
 from tunevlseg_tpu.nn.layers import ACT2FN, MultiHeadAttention
-from tunevlseg_tpu.ops.image import resize_2d
+from tunevlseg_tpu.ops.image import resize_2d, resize_2d_nhwc
 
 Dtype = Any
 
@@ -167,13 +169,44 @@ class TorchTransformerDecoderLayer(nn.Module):
         return ln("norm3")(x + ff(x))
 
 
+class _SampleNormNHWC(nn.Module):
+    """torch nn.LayerNorm(normalized_shape=(C, H, W)) applied to an NHWC
+    activation, with the affine params KEPT in the layout-independent
+    (C, H, W) shape so converters/state dicts match the NCHW formulation."""
+
+    shape: tuple[int, int, int]          # (C, H, W)
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, H, W, C)
+        scale = self.param("scale", nn.initializers.ones, self.shape)
+        bias = self.param("bias", nn.initializers.zeros, self.shape)
+        x32 = x.astype(jnp.float32)
+        m = jnp.mean(x32, (1, 2, 3), keepdims=True)
+        v = jnp.var(x32, (1, 2, 3), keepdims=True)
+        y = (x32 - m) * jax.lax.rsqrt(v + self.epsilon)
+        y = y * scale.transpose(1, 2, 0) + bias.transpose(1, 2, 0)
+        return y.astype(self.dtype)
+
+
 class Upsampler(nn.Module):
+    """`layout="nhwc"` runs the staged conv pyramid channels-last (resize
+    einsums + replicate-pad convs), the same treatment that cracked the CRIS
+    conv floor (scripts/micro_conv_nhwc.py). Boundary stays NCHW and every
+    param keeps its layout-independent shape."""
+
     config: TransSegmentorConfig
+    layout: str = "nchw"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, C, s, s)
         c = self.config
+        nhwc = self.layout == "nhwc"
+        resize = resize_2d_nhwc if nhwc else resize_2d
+        if nhwc:
+            x = x.transpose(0, 2, 3, 1)
         n = c.num_upsampler_layers
         proj = c.effective_projection_dim
         final = c.image_size or c.vision.image_size
@@ -185,30 +218,36 @@ class Upsampler(nn.Module):
         for i in range(n - 1):
             out_ch = in_ch - channel_factor
             size = math.ceil(size * up_factor)
-            x = resize_2d(x, (size, size), "bilinear")
+            x = resize(x, (size, size), "bilinear")
             x = Conv2d(in_ch, out_ch, 3, padding="same", pad_mode="replicate",
-                       use_bias=c.upsampler_norm is None, dtype=self.dtype,
-                       name=f"block{i}_conv")(x)
+                       use_bias=c.upsampler_norm is None, layout=self.layout,
+                       dtype=self.dtype, name=f"block{i}_conv")(x)
             if c.upsampler_norm == "layer":
-                x = nn.LayerNorm(epsilon=1e-5, reduction_axes=(1, 2, 3),
-                                 feature_axes=(1, 2, 3), dtype=self.dtype,
-                                 name=f"block{i}_norm")(x)
+                if nhwc:
+                    x = _SampleNormNHWC((out_ch, size, size), 1e-5,
+                                        dtype=self.dtype,
+                                        name=f"block{i}_norm")(x)
+                else:
+                    x = nn.LayerNorm(epsilon=1e-5, reduction_axes=(1, 2, 3),
+                                     feature_axes=(1, 2, 3), dtype=self.dtype,
+                                     name=f"block{i}_norm")(x)
             elif c.upsampler_norm == "group":
-                x = nn.GroupNorm(
+                gn = nn.GroupNorm(
                     num_groups=out_ch // c.upsampler_group_channels,
-                    epsilon=1e-5, dtype=self.dtype,
-                    name=f"block{i}_norm")(x.transpose(0, 2, 3, 1)
-                                           ).transpose(0, 3, 1, 2)
+                    epsilon=1e-5, dtype=self.dtype, name=f"block{i}_norm")
+                x = gn(x) if nhwc else gn(x.transpose(0, 2, 3, 1)
+                                          ).transpose(0, 3, 1, 2)
             x = ACT2FN[c.upsampler_act](x)
             in_ch = out_ch
 
-        x = resize_2d(x, (final, final), "bilinear")
+        x = resize(x, (final, final), "bilinear")
         # final conv; `output_bias` fixes the bias init from mask statistics
         # (configs/experiment/phrasecut.yaml: output_bias -1.748...) but the
         # param stays trainable, like the overridden torch bias
-        return Conv2d(in_ch, c.num_output_channels, 3, padding="same",
-                      pad_mode="replicate", bias_init_value=c.output_bias,
-                      dtype=self.dtype, name="out_conv")(x)
+        x = Conv2d(in_ch, c.num_output_channels, 3, padding="same",
+                   pad_mode="replicate", bias_init_value=c.output_bias,
+                   layout=self.layout, dtype=self.dtype, name="out_conv")(x)
+        return x.transpose(0, 3, 1, 2) if nhwc else x
 
 
 class TransformerSegmentor(nn.Module):
@@ -255,7 +294,14 @@ class TransformerSegmentor(nn.Module):
         ]
         self.decoder_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                          name="decoder_norm")
-        self.upsampler = Upsampler(c, dtype=self.dtype, name="upsampler")
+        # channels-last upsampler: same conv-floor treatment as the CRIS
+        # backbone ("0" restores NCHW for A/B; default decided by the r4
+        # chip micro/e2e numbers)
+        up_layout = ("nchw"
+                     if os.environ.get("TUNEVLSEG_TRANSSEG_NHWC", "1") == "0"
+                     else "nhwc")
+        self.upsampler = Upsampler(c, layout=up_layout, dtype=self.dtype,
+                                   name="upsampler")
 
     def __call__(self, input_ids, pixel_values, attention_mask=None,
                  deterministic: bool = True):

@@ -90,8 +90,50 @@ def _torch_conv_init(fan_in: int):
     return init
 
 
+def conv2d_nhwc(x: jnp.ndarray, weight: jnp.ndarray, bias=None,
+                stride: Size2 = 1, padding: Union[str, Size2] = 0,
+                pad_mode: str = "zeros") -> jnp.ndarray:
+    """NHWC conv with the weight still in torch OIHW layout (the layout
+    transpose is a free constant fold on the small weight). 1x1 stride-1
+    convs lower to an explicit (B*H*W, C) @ (C, O) einsum — measured r4
+    (scripts/micro_conv_nhwc.py, b64@416 early RN50 shapes): einsum-1x1 is
+    24-44%% faster than the conv emitter, and NHWC 3x3 is ~16%% faster than
+    NCHW at C<=64. This is the CRIS conv-floor fix (VERDICT r3 #2)."""
+    kh, kw = weight.shape[2], weight.shape[3]
+    sh, sw = _pair(stride)
+    if padding == "same":
+        pads = ((kh - 1) // 2, kh - 1 - (kh - 1) // 2), \
+               ((kw - 1) // 2, kw - 1 - (kw - 1) // 2)
+    elif isinstance(padding, str):
+        raise ValueError(f"unsupported padding {padding}")
+    else:
+        p = _pair(padding)
+        pads = ((p[0], p[0]), (p[1], p[1]))
+    if pad_mode != "zeros" and any(p != (0, 0) for p in pads):
+        mode = {"replicate": "edge", "reflect": "reflect"}[pad_mode]
+        x = jnp.pad(x, ((0, 0), pads[0], pads[1], (0, 0)), mode=mode)
+        pads = ((0, 0), (0, 0))
+    if kh == kw == 1 and sh == sw == 1:
+        out = jnp.einsum("bhwc,co->bhwo", x, weight[:, :, 0, 0].T.astype(x.dtype),
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+    else:
+        out = jax.lax.conv_general_dilated(
+            x, jnp.transpose(weight, (2, 3, 1, 0)).astype(x.dtype),
+            window_strides=(sh, sw),
+            padding=pads,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.reshape(1, 1, 1, -1).astype(out.dtype)
+    return out
+
+
 class Conv2d(nn.Module):
-    """Parameter-holding wrapper with torch layout (O, I, kh, kw)."""
+    """Parameter-holding wrapper with torch layout (O, I, kh, kw).
+
+    `layout="nhwc"` consumes/produces NHWC activations while keeping the
+    PARAMETER in torch OIHW layout, so converters and state dicts are
+    layout-independent (only plain zero padding is supported there)."""
 
     in_channels: int
     out_channels: int
@@ -101,6 +143,7 @@ class Conv2d(nn.Module):
     pad_mode: str = "zeros"
     use_bias: bool = True
     bias_init_value: Union[float, None] = None  # fixed-constant bias init
+    layout: str = "nchw"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -115,6 +158,10 @@ class Conv2d(nn.Module):
             bias_initializer = _torch_conv_init(fan_in)
         bias = (self.param("bias", bias_initializer, (self.out_channels,))
                 if self.use_bias else None)
+        if self.layout == "nhwc":
+            return conv2d_nhwc(x.astype(self.dtype), weight, bias,
+                               self.stride, self.padding,
+                               pad_mode=self.pad_mode)
         return conv2d(x.astype(self.dtype), weight, bias, self.stride,
                       self.padding, pad_mode=self.pad_mode)
 

@@ -98,6 +98,24 @@ def resize_2d(img: jnp.ndarray, out_hw: tuple[int, int], method: str = "bilinear
     return x.astype(dtype)
 
 
+def resize_2d_nhwc(img: jnp.ndarray, out_hw: tuple[int, int],
+                   method: str = "bilinear",
+                   align_corners: bool = False) -> jnp.ndarray:
+    """`resize_2d` for channels-last (B, H, W, C) maps — same precomputed
+    matrices applied to the middle axes, identical numerics."""
+    h_in, w_in = img.shape[1], img.shape[2]
+    h_out, w_out = out_hw
+    if (h_in, w_in) == (h_out, w_out):
+        return img
+    wr = jnp.asarray(_resize_matrix(h_in, h_out, method, align_corners))
+    wc = jnp.asarray(_resize_matrix(w_in, w_out, method, align_corners))
+    dtype = img.dtype
+    x = img.astype(jnp.float32)
+    x = jnp.einsum("oh,bhwc->bowc", wr, x, preferred_element_type=jnp.float32)
+    x = jnp.einsum("ow,bhwc->bhoc", wc, x, preferred_element_type=jnp.float32)
+    return x.astype(dtype)
+
+
 def _cubic_kernel_jnp(x: jnp.ndarray, a: float = -0.75) -> jnp.ndarray:
     x = jnp.abs(x)
     x2, x3 = x * x, x * x * x

@@ -638,3 +638,30 @@ def test_eval_without_ckpt_raises(synth_root, tmp_path):
             "ckpt_path=null",
             "exp_name=nockpt",
         ])
+
+
+def test_accumulation_and_remat_cycle(synth_root, tmp_path):
+    """trainer.accumulate_grad_batches + trainer.remat through the real CLI:
+    the Lightning trainer keys a reference user would set (SURVEY §5.6)."""
+    from tunevlseg_tpu import train as train_mod
+
+    out = tmp_path / "logs"
+    result = train_mod.main([
+        "ds_name=kvasir_polyp",
+        f"paths.data_root={synth_root}",
+        f"paths.log_dir={out}",
+        f"vocab_path={VOCAB}",
+        "img_size=32",
+        "+tiny_model=true",
+        "data.batch_size=4",
+        "data.num_workers=2",
+        "trainer=debug",
+        "trainer.max_epochs=2",
+        "trainer.n_devices=4",
+        "trainer.accumulate_grad_batches=2",
+        "trainer.remat=true",
+        "trainer.gradient_clip_val=1.0",
+        "exp_name=accum_smoke",
+    ])
+    assert np.isfinite(result["test_loss"])
+    assert "test_dice" in result and 0 <= result["test_dice"] <= 1

@@ -435,3 +435,89 @@ def test_async_save_staging_preserves_old_checkpoint(rng, tmp_path):
     assert mgr.load_meta("last")["epoch"] == 2
     restored = mgr.restore("last", state)
     assert int(restored.step) == int(state.step) + 1
+
+
+def test_accumulate_grad_batches_matches_full_batch(cpu_mesh, rng):
+    """Lightning's trainer.accumulate_grad_batches semantics: k micro-batch
+    steps (optax.MultiSteps averages the grads, then one optimizer update)
+    must land on the SAME params as one step over the concatenated batch —
+    CLIPSeg has no dropout, so the equivalence is exact up to f32 order."""
+    cfg = CLIPSegConfig.tiny()
+
+    def make(accum):
+        model = CLIPSegForSegmentation(
+            cfg, learner=CoOpLearner(prompt_depth=2, num_context=4,
+                                     context_dim=cfg.text.hidden_size),
+            additive_mode="residual")
+        return SegmentationTask(
+            model, FreezeSpec(freeze_all=True, use_new_last_layer=True),
+            learning_rate=1e-2, accumulate_grad_batches=accum)
+
+    full = synthetic_batch(rng, batch=16)
+    micro0 = {k: v[:8] for k, v in full.items()}
+    micro1 = {k: v[8:] for k, v in full.items()}
+
+    task_acc = make(2)
+    state_acc, frozen = task_acc.init(jax.random.PRNGKey(0), micro0)
+    train_acc, _, _ = task_acc.compile_steps(cpu_mesh)
+    state_acc = mesh_lib.replicate(cpu_mesh, state_acc)
+    frozen_r = mesh_lib.replicate(cpu_mesh, frozen)
+    for micro in (micro0, micro1):
+        state_acc, _ = train_acc(state_acc, frozen_r,
+                                 mesh_lib.shard_batch(cpu_mesh, micro))
+
+    task_full = make(1)
+    state_full, frozen2 = task_full.init(jax.random.PRNGKey(0), full)
+    train_full, _, _ = task_full.compile_steps(cpu_mesh)
+    state_full = mesh_lib.replicate(cpu_mesh, state_full)
+    state_full, _ = train_full(state_full, mesh_lib.replicate(cpu_mesh, frozen2),
+                               mesh_lib.shard_batch(cpu_mesh, full))
+
+    for a, b in zip(jax.tree_util.tree_leaves(state_acc.trainable),
+                    jax.tree_util.tree_leaves(state_full.trainable)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)
+
+    # the injected-hyperparam LR must stay reachable through MultiSteps
+    # (the plateau scheduler depends on set/get)
+    from tunevlseg_tpu.training import optim as optim_lib
+    assert optim_lib.get_learning_rate(state_acc.opt_state) == pytest.approx(1e-2)
+    new = optim_lib.set_learning_rate(state_acc.opt_state, 5e-3)
+    assert optim_lib.get_learning_rate(new) == pytest.approx(5e-3)
+
+
+def test_remat_matches_plain_step(cpu_mesh, rng):
+    """remat=True (jax.checkpoint around the loss) must not change the
+    numbers — it only changes WHEN activations are (re)computed."""
+    cfg = CLIPSegConfig.tiny()
+
+    def make(remat):
+        model = CLIPSegForSegmentation(
+            cfg, learner=CoOpLearner(prompt_depth=2, num_context=4,
+                                     context_dim=cfg.text.hidden_size),
+            additive_mode="residual")
+        return SegmentationTask(
+            model, FreezeSpec(freeze_all=True, use_new_last_layer=True),
+            learning_rate=1e-2, remat=remat)
+
+    batch = synthetic_batch(rng)
+    states = []
+    for remat in (False, True):
+        task = make(remat)
+        state, frozen = task.init(jax.random.PRNGKey(0), batch)
+        train, _, _ = task.compile_steps(cpu_mesh)
+        state = mesh_lib.replicate(cpu_mesh, state)
+        frozen = mesh_lib.replicate(cpu_mesh, frozen)
+        sharded = mesh_lib.shard_batch(cpu_mesh, batch)
+        losses = []
+        for _ in range(3):
+            state, m = train(state, frozen, sharded)
+            losses.append(float(m["loss"]))
+        states.append((state, losses))
+
+    (s0, l0), (s1, l1) = states
+    np.testing.assert_allclose(l0, l1, atol=1e-6, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s0.trainable),
+                    jax.tree_util.tree_leaves(s1.trainable)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)

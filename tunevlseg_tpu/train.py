@@ -248,6 +248,9 @@ def _make_task(cfg: dict, model, spec):
         learning_rate=opt.get("lr", 2e-4),
         weight_decay=m.get("weight_decay", 0.0),
         grad_clip_norm=cfg["trainer"].get("gradient_clip_val"),
+        accumulate_grad_batches=int(
+            cfg["trainer"].get("accumulate_grad_batches", 1) or 1),
+        remat=bool(cfg["trainer"].get("remat", False)),
         mutable_collections=mutable,
         image_stats=(tuple(cfg.get("img_mean", (0.485, 0.456, 0.406))),
                      tuple(cfg.get("img_std", (0.229, 0.224, 0.225)))))

@@ -130,10 +130,17 @@ def make_optimizer(
     eps: float = 1e-8,
     optimizer: str = "adamw",
     grad_clip_norm: Optional[float] = None,
+    accumulate_steps: int = 1,
 ) -> optax.GradientTransformation:
     """AdamW over the trainable tree with the reference's two-group decay
     policy. The learning rate is injected as a mutable hyperparameter so
-    host-side schedulers (plateau) can update it between steps."""
+    host-side schedulers (plateau) can update it between steps.
+
+    `accumulate_steps` > 1 wraps the whole transformation in
+    optax.MultiSteps — Lightning's `trainer.accumulate_grad_batches`: k
+    micro-batch grads are averaged on-device before one optimizer update
+    (clipping applies to the AVERAGED grad, matching Lightning). The
+    accumulator lives in opt_state so the jitted step stays one program."""
 
     def build(lr):
         if optimizer == "adamw":
@@ -158,8 +165,11 @@ def make_optimizer(
             tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
         return tx
 
-    return optax.inject_hyperparams(
+    tx = optax.inject_hyperparams(
         lambda learning_rate: build(learning_rate))(learning_rate=learning_rate)
+    if accumulate_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
+    return tx
 
 
 def set_learning_rate(opt_state, lr: float):

@@ -57,6 +57,14 @@ class SegmentationTask:
     learning_rate: float = 2e-4
     weight_decay: float = 0.0
     grad_clip_norm: Optional[float] = None
+    # Lightning trainer.accumulate_grad_batches: average k micro-batch grads
+    # on-device (optax.MultiSteps) before one optimizer update
+    accumulate_grad_batches: int = 1
+    # Activation rematerialization: recompute the forward during the backward
+    # pass (jax.checkpoint) instead of keeping every tower activation live in
+    # HBM — the standard TPU memory-for-FLOPs trade, enabling batches/images
+    # that would otherwise OOM. ~1.3x step cost for ~2-3x activation memory.
+    remat: bool = False
     donate_state: bool = True
     # collections updated as side effects of the train step (e.g.
     # ("batch_stats",) for e2e CRIS where neck/decoder BN stats train —
@@ -71,7 +79,8 @@ class SegmentationTask:
     def __post_init__(self):
         self.tx = optim_lib.make_optimizer(
             self.learning_rate, self.weight_decay,
-            grad_clip_norm=self.grad_clip_norm)
+            grad_clip_norm=self.grad_clip_norm,
+            accumulate_steps=self.accumulate_grad_batches)
 
     # -- init ---------------------------------------------------------------
 
@@ -175,9 +184,10 @@ class SegmentationTask:
 
     def train_step(self, state: TrainState, frozen, batch):
         rng = jax.random.fold_in(state.rng, state.step)
+        loss_fn = (jax.checkpoint(self._loss) if self.remat else self._loss)
         (loss, (logits, new_model_state)), grads = jax.value_and_grad(
-            self._loss, has_aux=True)(state.trainable, state.model_state,
-                                      frozen, batch, rng)
+            loss_fn, has_aux=True)(state.trainable, state.model_state,
+                                   frozen, batch, rng)
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.trainable)
         trainable = optax.apply_updates(state.trainable, updates)

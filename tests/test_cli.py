@@ -640,9 +640,11 @@ def test_eval_without_ckpt_raises(synth_root, tmp_path):
         ])
 
 
-def test_accumulation_and_remat_cycle(synth_root, tmp_path):
-    """trainer.accumulate_grad_batches + trainer.remat through the real CLI:
-    the Lightning trainer keys a reference user would set (SURVEY §5.6)."""
+def test_accumulation_remat_fsdp_cycle(synth_root, tmp_path):
+    """trainer.accumulate_grad_batches + trainer.remat + trainer.fsdp +
+    gradient_clip_val through the real CLI in one cycle: the trainer keys a
+    reference user would set (SURVEY §5.6) plus the TPU-native scaling
+    levers, all composing in a single jitted step."""
     from tunevlseg_tpu import train as train_mod
 
     out = tmp_path / "logs"
@@ -660,6 +662,7 @@ def test_accumulation_and_remat_cycle(synth_root, tmp_path):
         "trainer.n_devices=4",
         "trainer.accumulate_grad_batches=2",
         "trainer.remat=true",
+        "trainer.fsdp=true",
         "trainer.gradient_clip_val=1.0",
         "exp_name=accum_smoke",
     ])

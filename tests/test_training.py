@@ -521,3 +521,73 @@ def test_remat_matches_plain_step(cpu_mesh, rng):
                     jax.tree_util.tree_leaves(s1.trainable)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=1e-5)
+
+
+def _fsdp_vs_dp_states(rng, model_parallel=1):
+    """Run 3 full-finetune steps replicated vs FSDP-sharded; return both
+    final states plus the fsdp sharding tree."""
+    cfg = CLIPSegConfig.tiny()
+    batch = synthetic_batch(rng)
+    states = []
+    ssh_used = None
+    for fsdp in (False, True):
+        mesh = mesh_lib.make_mesh(model_parallel=model_parallel)
+        model = CLIPSegForSegmentation(cfg)
+        task = SegmentationTask(model, FreezeSpec(freeze_all=False),
+                                learning_rate=1e-3)
+        state, frozen = task.init(jax.random.PRNGKey(0), batch)
+        ssh = task.state_fsdp_shardings(mesh, state) if fsdp else None
+        if fsdp:
+            ssh_used = ssh
+        train, _, _ = task.compile_steps(mesh, state_shardings=ssh)
+        if fsdp:
+            state = jax.tree_util.tree_map(jax.device_put, state, ssh)
+        else:
+            state = mesh_lib.replicate(mesh, state)
+        frozen = mesh_lib.replicate(mesh, frozen)
+        sharded = mesh_lib.shard_batch(mesh, batch)
+        for _ in range(3):
+            state, m = train(state, frozen, sharded)
+        states.append((state, float(m["loss"])))
+    return states, ssh_used
+
+
+def test_fsdp_matches_data_parallel(rng):
+    """FSDP (params + Adam state sharded over the data axis, gathered by
+    GSPMD on use) must reproduce plain data-parallel numerics, while
+    actually holding only 1/N of the big leaves per device."""
+    (dp, fsdp), ssh = _fsdp_vs_dp_states(rng)
+    (state_dp, loss_dp), (state_fs, loss_fs) = dp, fsdp
+    assert abs(loss_dp - loss_fs) < 1e-5, (loss_dp, loss_fs)
+    for a, b in zip(jax.tree_util.tree_leaves(state_dp.trainable),
+                    jax.tree_util.tree_leaves(state_fs.trainable)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
+
+    # the big leaves must be genuinely sharded: one device holds 1/8
+    n_sharded = 0
+    for leaf in jax.tree_util.tree_leaves(state_fs.trainable):
+        shard = leaf.addressable_shards[0].data
+        if shard.size < leaf.size:
+            assert shard.size * 8 == leaf.size, (shard.shape, leaf.shape)
+            n_sharded += 1
+    assert n_sharded >= 1, "no trainable leaf was actually fsdp-sharded"
+    # Adam mu/nu shard alongside their params
+    opt_sharded = sum(
+        1 for leaf in jax.tree_util.tree_leaves(state_fs.opt_state)
+        if hasattr(leaf, "addressable_shards")
+        and leaf.addressable_shards[0].data.size < leaf.size)
+    assert opt_sharded >= 2 * n_sharded, (opt_sharded, n_sharded)
+
+
+def test_fsdp_composes_with_tensor_parallel(rng):
+    """dp4 x tp2 mesh with fsdp=True: tp-sharded leaves keep the model-axis
+    spec; fsdp fills the replicated remainder over the data axis, and the
+    numerics still match plain data parallel."""
+    (dp, fsdp), _ = _fsdp_vs_dp_states(rng, model_parallel=2)
+    (state_dp, loss_dp), (state_fs, loss_fs) = dp, fsdp
+    assert abs(loss_dp - loss_fs) < 1e-5, (loss_dp, loss_fs)
+    for a, b in zip(jax.tree_util.tree_leaves(state_dp.trainable),
+                    jax.tree_util.tree_leaves(state_fs.trainable)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)

@@ -73,7 +73,8 @@ def _run(cfg: dict) -> dict:
 
     trainer = Trainer(task=task, mesh=mesh,
                       output_dir=cfg["paths"]["output_dir"],
-                      limit_batches=t.get("limit_batches"))
+                      limit_batches=t.get("limit_batches"),
+                      fsdp=bool(t.get("fsdp", False)))
     result = trainer.test(state, frozen, test_loader, use_best=False)
     if cfg.get("predict", True):
         out_dir = Path(cfg["paths"]["output_dir"]) / "output_masks"

@@ -27,6 +27,7 @@ from typing import Sequence
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from tunevlseg_tpu.parallel import mesh as mesh_lib
 from tunevlseg_tpu.parallel.mesh import MODEL_AXIS
 from tunevlseg_tpu.utils.logging import get_logger
 
@@ -112,3 +113,67 @@ def tp_shardings(tree, mesh: Mesh,
 def shard_tree(tree, shardings):
     """device_put each leaf with its sharding."""
     return jax.tree_util.tree_map(jax.device_put, tree, shardings)
+
+
+# ---------------------------------------------------------------------------
+# FSDP (ZeRO-3 style) sharding over the DATA axis
+# ---------------------------------------------------------------------------
+
+def fsdp_specs(tree, mesh: Mesh, min_elements: int = 2 ** 14,
+               base_specs=None, report: str = ""):
+    """Shape-based FSDP PartitionSpecs: every large array leaf is sharded
+    over the DATA axis on its largest divisible dimension; small leaves
+    (LayerNorm vectors, biases, scalars) stay replicated.
+
+    This is the scaling-book "fsdp axis" recipe: params and optimizer state
+    live sharded in HBM; GSPMD all-gathers each weight just before use and
+    reduce-scatters its gradient — per-chip memory for params + Adam state
+    drops ~Nx while the collectives ride ICI overlapped with compute. The
+    reference has no counterpart (DDP replicates everything); this is what
+    makes full fine-tune of bigger towers fit small chips.
+
+    `base_specs` (e.g. from tp_param_specs) is respected: leaves already
+    sharded by tensor-parallel rules keep their spec; FSDP fills only the
+    replicated remainder, so dp×tp meshes compose with fsdp for free.
+    """
+    n = dict(zip(mesh.axis_names, mesh.devices.shape)).get(
+        mesh_lib.DATA_AXIS, 1)
+    stats = {"sharded": 0, "replicated": 0, "kept": 0}
+
+    def pick(leaf, base):
+        if base is not None and any(ax is not None for ax in base):
+            stats["kept"] += 1
+            return base
+        shape = getattr(leaf, "shape", None)
+        size = getattr(leaf, "size", 0)
+        if not shape or size < min_elements or n <= 1:
+            stats["replicated"] += 1
+            return P()
+        cands = [(d, i) for i, d in enumerate(shape) if d % n == 0 and d >= n]
+        if not cands:
+            stats["replicated"] += 1
+            return P()
+        _, i = max(cands)
+        spec = [None] * len(shape)
+        spec[i] = mesh_lib.DATA_AXIS
+        stats["sharded"] += 1
+        return P(*spec)
+
+    if base_specs is None:
+        specs = jax.tree_util.tree_map(lambda l: pick(l, None), tree)
+    else:
+        specs = jax.tree_util.tree_map(pick, tree, base_specs,
+                                       is_leaf=lambda x: x is None)
+    if n > 1 and report:
+        log.info("fsdp shard report (%s, data axis %d): %d leaves sharded, "
+                 "%d replicated (small/indivisible), %d kept tp spec",
+                 report, n, stats["sharded"], stats["replicated"],
+                 stats["kept"])
+    return specs
+
+
+def fsdp_shardings(tree, mesh: Mesh, min_elements: int = 2 ** 14,
+                   base_specs=None, report: str = ""):
+    """NamedSharding pytree for FSDP placement (see fsdp_specs)."""
+    specs = fsdp_specs(tree, mesh, min_elements, base_specs, report)
+    return jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs)

@@ -389,6 +389,7 @@ def _run(cfg: dict) -> dict:
         loggers=tuple(t.get("loggers", ("jsonl", "csv"))),
         log_image_num=t.get("log_image_num", 4),
         steps_per_execution=t.get("steps_per_execution", 1),
+        fsdp=bool(t.get("fsdp", False)),
         exp_name=cfg.get("exp_name"), project=t.get("project"),
         tags=tuple(cfg.get("tags") or ()))
     save_composed_config(cfg, trainer.output_dir)

@@ -73,6 +73,10 @@ class Trainer:
     # amortizing per-launch dispatch latency; metrics are means over the
     # scanned steps. Leftover batches at epoch end run the 1-step program.
     steps_per_execution: int = 1
+    # FSDP/ZeRO-3: shard params + optimizer state + frozen towers over the
+    # data axis (parallel/sharding_rules.py:fsdp_shardings). Composes with
+    # model_parallel>1 (tp rules keep their axis; fsdp fills the rest).
+    fsdp: bool = False
 
     def __post_init__(self):
         from tunevlseg_tpu.utils.logging import MultiLogger
@@ -91,24 +95,42 @@ class Trainer:
                                        tags=tuple(self.tags or ()))
         self._train_step = None
         self._fsh = None
+        self._ssh = None
 
-    def _place_frozen(self, frozen):
-        """Compile the steps on first use and place the frozen tree: tensor-
-        parallel over the `model` mesh axis when it has size > 1 (Megatron
-        column/row rules), fully replicated otherwise."""
+    def _setup(self, state, frozen):
+        """Compile the steps on first use and place state + frozen tree:
+        tensor-parallel over the `model` mesh axis when it has size > 1
+        (Megatron column/row rules), FSDP over the data axis when
+        `fsdp=True` (params/opt-state/frozen sharded, GSPMD gathers on
+        use), fully replicated otherwise. Returns (state, frozen) placed."""
         if self._train_step is None:
-            if dict(self.mesh.shape).get(mesh_lib.MODEL_AXIS, 1) > 1:
-                from tunevlseg_tpu.parallel import sharding_rules
+            from tunevlseg_tpu.parallel import sharding_rules
+            tp = dict(self.mesh.shape).get(mesh_lib.MODEL_AXIS, 1) > 1
+            if self.fsdp:
+                base = (sharding_rules.tp_param_specs(frozen, self.mesh)
+                        if tp else None)
+                self._fsh = sharding_rules.fsdp_shardings(
+                    frozen, self.mesh, base_specs=base, report="frozen")
+                self._ssh = self.task.state_fsdp_shardings(self.mesh, state)
+            elif tp:
                 self._fsh = sharding_rules.tp_shardings(frozen, self.mesh)
             self._train_step, self._eval_step, self._predict_step = \
-                self.task.compile_steps(self.mesh, self._fsh)
+                self.task.compile_steps(self.mesh, self._fsh, self._ssh)
             self._multi_step = (
                 self.task.compile_train_multistep(
-                    self.mesh, self.steps_per_execution, self._fsh)
+                    self.mesh, self.steps_per_execution, self._fsh,
+                    self._ssh)
                 if self.steps_per_execution > 1 else None)
         if self._fsh is None:
-            return mesh_lib.replicate(self.mesh, frozen)
-        return jax.tree_util.tree_map(jax.device_put, frozen, self._fsh)
+            frozen = mesh_lib.replicate(self.mesh, frozen)
+        else:
+            frozen = jax.tree_util.tree_map(jax.device_put, frozen,
+                                            self._fsh)
+        if self._ssh is None:
+            state = mesh_lib.replicate(self.mesh, state)
+        else:
+            state = jax.tree_util.tree_map(jax.device_put, state, self._ssh)
+        return state, frozen
 
     # ---------------------------------------------------------------
 
@@ -204,8 +226,7 @@ class Trainer:
     def fit(self, state, frozen, train_loader: DataLoader,
             val_loader: Optional[DataLoader] = None,
             resume_from: Optional[str] = None):
-        frozen = self._place_frozen(frozen)
-        state = mesh_lib.replicate(self.mesh, state)
+        state, frozen = self._setup(state, frozen)
         self.ckpt.save_frozen(frozen)
 
         start_epoch = 0
@@ -284,7 +305,7 @@ class Trainer:
 
     def test(self, state, frozen, test_loader: DataLoader,
              use_best: bool = True):
-        frozen = self._place_frozen(frozen)
+        state, frozen = self._setup(state, frozen)
         if use_best and (self.ckpt.dir / "best").exists():
             state = self.ckpt.restore("best", state)
         result = self._run_eval(state, frozen, test_loader, "test")
@@ -298,7 +319,7 @@ class Trainer:
         sample's original resolution (reference src/utils/save_utils.py)."""
         import cv2
 
-        frozen = self._place_frozen(frozen)
+        state, frozen = self._setup(state, frozen)
         if use_best and (self.ckpt.dir / "best").exists():
             state = self.ckpt.restore("best", state)
         outputs = []

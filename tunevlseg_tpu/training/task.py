@@ -235,36 +235,52 @@ class SegmentationTask:
 
     # -- jit + sharding -----------------------------------------------------
 
-    def compile_steps(self, mesh: Mesh, frozen_shardings=None):
+    def compile_steps(self, mesh: Mesh, frozen_shardings=None,
+                      state_shardings=None):
         """Jit the steps over the mesh: trainable state replicated, batch
         sharded on the data axis. GSPMD inserts the grad psum over ICI.
 
         `frozen_shardings` (a pytree of NamedShardings matching the frozen
         dict, e.g. from `parallel.sharding_rules.tp_shardings`) tensor-
         parallelizes the frozen tower over the `model` mesh axis; default is
-        fully replicated (pure data parallel, the reference's DDP regime)."""
+        fully replicated (pure data parallel, the reference's DDP regime).
+
+        `state_shardings` (a NamedSharding pytree matching TrainState, e.g.
+        from `state_fsdp_shardings`) shards trainable params + optimizer
+        state over the data axis (FSDP/ZeRO-3): GSPMD all-gathers weights
+        before use and reduce-scatters grads, cutting per-chip state memory
+        ~Nx."""
         repl = mesh_lib.replicated(mesh)
         bsh = mesh_lib.batch_sharding(mesh)
         fsh = repl if frozen_shardings is None else frozen_shardings
+        ssh = repl if state_shardings is None else state_shardings
 
         train = jax.jit(
             self.train_step,
-            in_shardings=(repl, fsh, None),
-            out_shardings=(repl, repl),
+            in_shardings=(ssh, fsh, None),
+            out_shardings=(ssh, repl),
             donate_argnums=(0,) if self.donate_state else (),
         )
         evals = jax.jit(
             self.eval_step,
-            in_shardings=(repl, fsh, repl, None),
+            in_shardings=(ssh, fsh, repl, None),
             out_shardings=(repl, repl),
         )
         predict = jax.jit(self.predict_step,
-                          in_shardings=(repl, fsh, None),
+                          in_shardings=(ssh, fsh, None),
                           out_shardings=bsh)
         return train, evals, predict
 
+    def state_fsdp_shardings(self, mesh: Mesh, state: TrainState):
+        """FSDP placement for the whole TrainState: params and every
+        params-shaped optimizer-state leaf (Adam mu/nu, MultiSteps
+        accumulators) shard over the data axis; scalars/rng replicate."""
+        from tunevlseg_tpu.parallel import sharding_rules
+        return sharding_rules.fsdp_shardings(state, mesh,
+                                             report="train state")
+
     def compile_train_multistep(self, mesh: Mesh, num_steps: int,
-                                frozen_shardings=None):
+                                frozen_shardings=None, state_shardings=None):
         """One XLA executable running `num_steps` train steps via lax.scan
         (steps-per-execution). Takes batches stacked on a leading axis
         (num_steps, B, ...) sharded (None, data) and returns metrics
@@ -274,6 +290,7 @@ class SegmentationTask:
         repl = mesh_lib.replicated(mesh)
         stacked = NamedSharding(mesh, P(None, mesh_lib.DATA_AXIS))
         fsh = repl if frozen_shardings is None else frozen_shardings
+        ssh = repl if state_shardings is None else state_shardings
 
         def multi(state: TrainState, frozen, batches):
             def body(st, batch):
@@ -285,7 +302,7 @@ class SegmentationTask:
 
         return jax.jit(
             multi,
-            in_shardings=(repl, fsh, stacked),
-            out_shardings=(repl, repl),
+            in_shardings=(ssh, fsh, stacked),
+            out_shardings=(ssh, repl),
             donate_argnums=(0,) if self.donate_state else (),
         )

@@ -162,8 +162,7 @@ def fsdp_specs(tree, mesh: Mesh, min_elements: int = 2 ** 14,
     if base_specs is None:
         specs = jax.tree_util.tree_map(lambda l: pick(l, None), tree)
     else:
-        specs = jax.tree_util.tree_map(pick, tree, base_specs,
-                                       is_leaf=lambda x: x is None)
+        specs = jax.tree_util.tree_map(pick, tree, base_specs)
     if n > 1 and report:
         log.info("fsdp shard report (%s, data axis %d): %d leaves sharded, "
                  "%d replicated (small/indivisible), %d kept tp spec",

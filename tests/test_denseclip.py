@@ -370,3 +370,67 @@ def test_denseclip_train_smoke():
                                (1e-4 - 1e-6) * (1 - 1500 / 80_000) ** 0.9
                                + 1e-6, rtol=1e-5)
     np.testing.assert_allclose(float(sched(80_000)), 1e-6, rtol=1e-5)
+
+
+def test_denseclip_fsdp_remat_accum_step():
+    """The TPU scaling levers on the DenseCLIP task: fsdp-sharded params +
+    Adam state, remat, and grad accumulation compose into one finite jitted
+    step with real 1/8 shards and a frozen text tower."""
+    from tunevlseg_tpu.models.denseclip.model import DenseCLIP
+    from tunevlseg_tpu.parallel import mesh as mesh_lib
+    from tunevlseg_tpu.training.denseclip_task import DenseCLIPTask
+
+    cfg = DenseCLIPConfig.tiny(head_dropout=0.0)
+    rng = np.random.default_rng(2)
+    class_ids = rng.integers(1, cfg.vocab_size - 1,
+                             (cfg.num_classes, cfg.text_context_length)
+                             ).astype(np.int32)
+    class_ids[:, -1] = cfg.vocab_size - 1
+    model = DenseCLIP(cfg, class_token_ids=class_ids, bn_train=True)
+    task = DenseCLIPTask(model, learning_rate=3e-3, total_iters=200,
+                         warmup_iters=5, accumulate_grad_batches=2,
+                         remat=True, grad_clip_norm=1.0)
+
+    B, H = 8, 64
+    images = rng.normal(size=(B, 3, H, H)).astype(np.float32)
+    labels = ((np.mgrid[:H, :H][0] // 16) % cfg.num_classes
+              )[None].repeat(B, 0).astype(np.int32)
+    batch = {"image": images, "label": labels}
+
+    mesh = mesh_lib.make_mesh()
+    state, frozen = task.init(jax.random.PRNGKey(0), batch)
+    ssh = task.state_fsdp_shardings(mesh, state)
+    state = jax.tree_util.tree_map(jax.device_put, state, ssh)
+    frozen = mesh_lib.replicate(mesh, frozen)
+    train, evals = task.compile_steps(mesh, state_shardings=ssh)
+    sharded = mesh_lib.shard_batch(mesh, batch)
+
+    for _ in range(4):   # 2 optimizer updates at k=2
+        state, m = train(state, frozen, sharded)
+    assert np.isfinite(float(m["loss"]))
+    n_shard = sum(
+        1 for leaf in jax.tree_util.tree_leaves(state.trainable)
+        if hasattr(leaf, "addressable_shards")
+        and leaf.addressable_shards[0].data.size < leaf.size)
+    assert n_shard >= 1
+    ev = evals(state, frozen, sharded)
+    assert np.isfinite(float(ev["loss"]))
+
+
+def test_train_denseclip_driver_smoke(tmp_path):
+    """The standalone DenseCLIP training CLI (scripts/train_denseclip.py,
+    the reference's mmseg recipe): synthetic tiny run produces finite
+    decreasing loss and a checkpoint."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "train_denseclip", "scripts/train_denseclip.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    final = mod.main(["--synthetic", "--tiny", "--iters", "20",
+                      "--batch", "8", "--warmup-iters", "5",
+                      "--lr", "3e-3", "--val-every", "10",
+                      "--log-every", "5", "--out", str(tmp_path / "dc")])
+    assert np.isfinite(final["loss"])
+    assert (tmp_path / "dc" / "checkpoints" / "last").exists()
+    assert (tmp_path / "dc" / "metrics.jsonl").exists()

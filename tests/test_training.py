@@ -591,3 +591,96 @@ def test_fsdp_composes_with_tensor_parallel(rng):
                     jax.tree_util.tree_leaves(state_fs.trainable)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_checkpoint_roundtrip_fsdp_to_dp(rng, tmp_path):
+    """A checkpoint written from FSDP-sharded state must restore into a
+    replicated (pure-dp) template bit-identically — switching chip counts
+    or parallelism between runs cannot corrupt a resume."""
+    from tunevlseg_tpu.training.checkpoint import CheckpointManager
+
+    cfg = CLIPSegConfig.tiny()
+    model = CLIPSegForSegmentation(cfg)
+    task = SegmentationTask(model, FreezeSpec(freeze_all=False),
+                            learning_rate=1e-3)
+    batch = synthetic_batch(rng)
+    mesh = mesh_lib.make_mesh()
+    state, frozen = task.init(jax.random.PRNGKey(0), batch)
+    ssh = task.state_fsdp_shardings(mesh, state)
+    state = jax.tree_util.tree_map(jax.device_put, state, ssh)
+    frozen_r = mesh_lib.replicate(mesh, frozen)
+    train, _, _ = task.compile_steps(mesh, state_shardings=ssh)
+    sharded = mesh_lib.shard_batch(mesh, batch)
+    for _ in range(2):
+        state, _ = train(state, frozen_r, sharded)
+
+    mgr = CheckpointManager(tmp_path / "ck", monitor="val_dice")
+    mgr.save("last", state, {"epoch": 0})
+    mgr.wait()
+
+    # fresh replicated template (as a later pure-dp run would build)
+    state2, _ = task.init(jax.random.PRNGKey(0), batch)
+    state2 = mesh_lib.replicate(mesh, state2)
+    restored = mgr.restore("last", state2)
+    assert int(restored.step) == 2
+    for a, b in zip(jax.tree_util.tree_leaves(state.trainable),
+                    jax.tree_util.tree_leaves(restored.trainable)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the restored replicated state is usable by a dp-compiled step
+    train_dp, _, _ = task.compile_steps(mesh)
+    restored, m = train_dp(restored, frozen_r, sharded)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_sigterm_preemption_saves_resumable_last(cpu_mesh, rng, tmp_path):
+    """Preemption safety: SIGTERM mid-fit must finish the in-flight step,
+    write a resumable 'last' checkpoint (meta preempted=True, epoch rolled
+    back to last completed), and return cleanly — and a fresh trainer must
+    resume from it."""
+    import os
+    import signal
+    import threading
+
+    from tunevlseg_tpu.models.presets import build_clipseg
+
+    cfg = CLIPSegConfig.tiny()
+
+    def make():
+        model, spec = build_clipseg("coop", prompt_depth=2, num_context=4,
+                                    config=cfg)
+        task = SegmentationTask(model, spec, learning_rate=1e-2)
+        batch = synthetic_batch(np.random.default_rng(0))
+        state, frozen = task.init(jax.random.PRNGKey(0), batch)
+        return task, state, frozen
+
+    train_l, val_l = _loader_pair(rng)
+    task, state, frozen = make()
+    tr = _make_trainer(task, cpu_mesh, tmp_path / "p", max_epochs=500)
+
+    # deliver SIGTERM once training is underway (after first epoch's save)
+    def preempt():
+        while not (tr.ckpt.dir / "last").exists():
+            import time
+            time.sleep(0.2)
+        os.kill(os.getpid(), signal.SIGTERM)
+
+    prev_handler = signal.getsignal(signal.SIGTERM)
+    t = threading.Thread(target=preempt, daemon=True)
+    t.start()
+    final = tr.fit(state, frozen, train_l, val_l)   # must NOT die
+    t.join(timeout=30)
+    # the watch was uninstalled / flag honored long before 500 epochs
+    assert int(final.step) < 500 * 2
+
+    meta = tr.ckpt.load_meta("last")
+    assert meta.get("preempted") is True
+    assert meta["epoch"] >= 0
+
+    # resumable: a fresh trainer continues from the snapshot
+    task, state2, frozen2 = make()
+    tr2 = _make_trainer(task, cpu_mesh, tmp_path / "p",
+                        max_epochs=meta["epoch"] + 2)
+    final2 = tr2.fit(state2, frozen2, train_l, val_l, resume_from="last")
+    assert int(final2.step) >= int(final.step)
+    # the pre-fit SIGTERM disposition is restored after fit
+    assert signal.getsignal(signal.SIGTERM) == prev_handler

@@ -100,6 +100,11 @@ class DenseCLIPTask:
     power: float = 0.9
     min_lr: float = 1e-6
     grad_clip_norm: Optional[float] = None
+    # Lightning-style accumulate_grad_batches (optax.MultiSteps); the poly
+    # schedule advances per OPTIMIZER step, mmseg iteration semantics
+    accumulate_grad_batches: int = 1
+    # recompute activations during backward (jax.checkpoint)
+    remat: bool = False
     # (mean, std) for on-device normalization of uint8 batches; None means
     # images arrive pre-normalized floats
     image_stats: Optional[tuple] = None
@@ -112,6 +117,9 @@ class DenseCLIPTask:
         self.tx = make_denseclip_optimizer(
             self.schedule, self.weight_decay, self.backbone_lr_mult,
             self.grad_clip_norm)
+        if self.accumulate_grad_batches > 1:
+            self.tx = optax.MultiSteps(
+                self.tx, every_k_schedule=self.accumulate_grad_batches)
         self.mutable_collections = (
             ("batch_stats",) if getattr(self.model, "bn_train", False)
             else ())
@@ -178,7 +186,8 @@ class DenseCLIPTask:
 
     def train_step(self, state: TrainState, frozen, batch):
         rng = jax.random.fold_in(state.rng, state.step)
-        grad_fn = jax.value_and_grad(self._loss, has_aux=True)
+        loss_fn = jax.checkpoint(self._loss) if self.remat else self._loss
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (losses, logits, new_model_state)), grads = grad_fn(
             state.trainable, state.model_state, frozen, batch, rng)
         updates, opt_state = self.tx.update(grads, state.opt_state,
@@ -203,14 +212,27 @@ class DenseCLIPTask:
 
     # -- jit + sharding -----------------------------------------------------
 
-    def compile_steps(self, mesh: Mesh):
+    def state_fsdp_shardings(self, mesh: Mesh, state: TrainState):
+        from tunevlseg_tpu.parallel import sharding_rules
+        return sharding_rules.fsdp_shardings(state, mesh,
+                                             report="denseclip state")
+
+    def compile_steps(self, mesh: Mesh, frozen_shardings=None,
+                      state_shardings=None):
+        """`state_shardings`/`frozen_shardings` (e.g. from
+        state_fsdp_shardings / parallel.sharding_rules.fsdp_shardings)
+        shard params + Adam state + the frozen text tower over the data
+        axis — FSDP for the full-finetune segmentor, where optimizer state
+        dominates per-chip HBM."""
         repl = mesh_lib.replicated(mesh)
+        fsh = repl if frozen_shardings is None else frozen_shardings
+        ssh = repl if state_shardings is None else state_shardings
         train = jax.jit(self.train_step,
-                        in_shardings=(repl, repl, None),
-                        out_shardings=(repl, repl),
+                        in_shardings=(ssh, fsh, None),
+                        out_shardings=(ssh, repl),
                         donate_argnums=(0,) if self.donate_state else ())
         evals = jax.jit(self.eval_step,
-                        in_shardings=(repl, repl, None),
+                        in_shardings=(ssh, fsh, None),
                         out_shardings=repl)
         return train, evals
 

@@ -52,6 +52,38 @@ class EarlyStopping:
         return self.count >= self.patience
 
 
+class _PreemptionWatch:
+    """SIGTERM watch for preemption-safe training: TPU pods deliver SIGTERM
+    ahead of maintenance events / autoscaler evictions. While installed, a
+    SIGTERM only raises a flag; fit() finishes the in-flight step group,
+    writes a resumable 'last' checkpoint, and returns cleanly instead of
+    dying mid-epoch with an unsaved optimizer state. (The reference has no
+    preemption story — Lightning just dies; SURVEY §5.3.)"""
+
+    def __init__(self):
+        self.flag = False
+        self._prev = None
+
+    def install(self):
+        import signal
+
+        def handler(signum, frame):
+            self.flag = True
+
+        try:
+            self._prev = (signal.SIGTERM,
+                          signal.signal(signal.SIGTERM, handler))
+        except ValueError:  # not the main thread (e.g. a test harness)
+            self._prev = None
+        return self
+
+    def uninstall(self):
+        import signal
+        if self._prev is not None:
+            signal.signal(*self._prev)
+            self._prev = None
+
+
 @dataclasses.dataclass
 class Trainer:
     task: SegmentationTask
@@ -247,6 +279,7 @@ class Trainer:
                      f"{start_epoch}, step {int(state.step)}")
 
         global_step = int(state.step)
+        watch = _PreemptionWatch().install()
         for epoch in range(start_epoch, self.max_epochs):
             train_loader.set_epoch(epoch)
             for group in self._train_groups(train_loader):
@@ -265,6 +298,21 @@ class Trainer:
                         (global_step - (len(group) if isinstance(group, list)
                                         else 1)) // self.log_every_n_steps):
                     self.metrics_log.log(m, global_step, prefix="train_")
+                if watch.flag:
+                    break
+            if watch.flag:
+                # resumable snapshot: epoch-1 = last COMPLETED epoch, so a
+                # ckpt_path=.../last resume re-runs this epoch from its
+                # start with the mid-epoch optimizer state (step counter
+                # continues; identical contract to the epoch-end save)
+                self.ckpt.save("last", state,
+                               {"epoch": epoch - 1, "preempted": True,
+                                **self._fit_extra()})
+                log.warning(
+                    f"SIGTERM: saved resumable 'last' at step "
+                    f"{int(state.step)} (epoch {epoch} incomplete); resume "
+                    f"with ckpt_path={self.ckpt.dir / 'last'}")
+                break
 
             epoch_metrics: dict[str, float] = {"epoch": epoch}
             if val_loader is not None:
@@ -298,6 +346,7 @@ class Trainer:
             else:
                 self.ckpt.save("last", state,
                                {"epoch": epoch, **self._fit_extra()})
+        watch.uninstall()
         # saves are async (overlapping epoch compute); drain before the
         # caller reads checkpoints (test-on-best) or the process exits
         self.ckpt.wait()

@@ -240,3 +240,43 @@ def test_analyze_prompts_script(tmp_path):
     xy = _np.loadtxt(out / "pca.csv", delimiter=",", skiprows=1)
     assert xy.shape == (8, 3)
     assert (out / "tsne.csv").exists()
+
+
+def test_export_model_roundtrip(tmp_path):
+    """AOT serving export (scripts/export_model.py): serialize the tiny
+    flagship predict to StableHLO, deserialize WITHOUT the script, and the
+    call must match direct model.apply on the same weights (bf16 towers:
+    fusion differences allow ~1e-2 on sigmoid outputs)."""
+    import importlib.util
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import export as jexport
+
+    spec = importlib.util.spec_from_file_location(
+        "export_model", "scripts/export_model.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    model, _ = mod.build("coop_clipseg", tiny=True)
+    exported, params = mod.export_predict(model, batch=2, img=32, seq=12)
+    blob = exported.serialize()
+    out = tmp_path / "m.stablehlo"
+    out.write_bytes(blob)
+    assert out.stat().st_size > 1000
+
+    rng = np.random.default_rng(3)
+    ids = np.full((2, 12), 5, np.int32)
+    ids[:, 0], ids[:, -1] = 49406, 49407
+    img = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+    mask = np.ones((2, 12), np.int32)
+
+    reloaded = jexport.deserialize(out.read_bytes())
+    got = reloaded.call(params, jnp.asarray(ids), jnp.asarray(img),
+                        jnp.asarray(mask))
+    want = jax.nn.sigmoid(model.apply(params, jnp.asarray(ids),
+                                      jnp.asarray(img), jnp.asarray(mask)
+                                      ).astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-2)

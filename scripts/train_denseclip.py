@@ -52,7 +52,12 @@ def parse_args(argv=None):
                     help="random data (smoke test, no files needed)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny config (smoke test)")
-    return ap.parse_args(argv)
+    args = ap.parse_args(argv)
+    if args.classes is not None and args.vocab is None:
+        ap.error("--classes requires --vocab (CLIP BPE merges file)")
+    if not args.synthetic and args.data_root is None:
+        ap.error("--data-root is required unless --synthetic")
+    return args
 
 
 def _list_pairs(root: Path, split: str):

@@ -39,6 +39,7 @@ CASES = [
     "naïve café 官能 🤖 ☺️",                 # accents + CJK + emoji + VS16
     "ＰＯＬＹＰ ｓｃａｎ",                   # full-width latin
     "ﬁbrous ﬂuid x² …",                      # ligature/superscript/ellipsis
+    "benign &amp;amp; malignant",            # double html unescape (basic_clean)
 ]
 
 

@@ -14,7 +14,9 @@ from tunevlseg_tpu.nn.attention import xla_attention
 
 @pytest.fixture
 def force_pad(monkeypatch):
-    monkeypatch.setattr(vision_mod, "_PAD_SEQ", "1")
+    # the env var is read at TRACE time (r4: import-time constant made the
+    # ab_env per-variant flip a no-op), so patch the environment
+    monkeypatch.setenv("TUNEVLSEG_PAD_SEQ", "1")
     monkeypatch.setattr(vision_mod, "_PAD_MIN_SEQ", 0)
 
 
@@ -38,7 +40,7 @@ def _run(cfg, visual_ctx=None, prompt_depth=0):
 def test_padded_tower_matches_unpadded(force_pad, monkeypatch):
     cfg = tiny_cfg()
     _, _, hs_p, last_p, pooled_p = _run(cfg)
-    monkeypatch.setattr(vision_mod, "_PAD_SEQ", "0")
+    monkeypatch.setenv("TUNEVLSEG_PAD_SEQ", "0")
     _, _, hs_u, last_u, pooled_u = _run(cfg)
     assert last_p.shape == last_u.shape  # (2, 26, 32): pad sliced off
     for a, b in zip(hs_p, hs_u):
@@ -52,7 +54,7 @@ def test_padded_tower_with_visual_ctx(force_pad, monkeypatch):
     rng = np.random.default_rng(1)
     ctx = jnp.asarray(rng.normal(size=(3, 4, 32)), jnp.float32)
     _, _, hs_p, last_p, pooled_p = _run(cfg, ctx, prompt_depth=3)
-    monkeypatch.setattr(vision_mod, "_PAD_SEQ", "0")
+    monkeypatch.setenv("TUNEVLSEG_PAD_SEQ", "0")
     _, _, hs_u, last_u, pooled_u = _run(cfg, ctx, prompt_depth=3)
     for a, b in zip(hs_p, hs_u):
         np.testing.assert_allclose(a, b, atol=1e-5)
@@ -77,7 +79,7 @@ def test_padded_grads_match(force_pad, monkeypatch):
                 + sum(jnp.sum(h ** 2) for h in hs))
 
     g_pad = np.asarray(jax.grad(loss)(ctx))
-    monkeypatch.setattr(vision_mod, "_PAD_SEQ", "0")
+    monkeypatch.setenv("TUNEVLSEG_PAD_SEQ", "0")
     g_ref = np.asarray(jax.grad(loss)(ctx))
     np.testing.assert_allclose(g_pad, g_ref, rtol=1e-4, atol=1e-4)
 
@@ -146,7 +148,7 @@ def test_cris_decoder_padded_matches_unpadded(force_pad, monkeypatch):
         return params, np.asarray(dec.apply(params, fq, txt, pad_mask))
 
     params_p, out_p = run()
-    monkeypatch.setattr(vision_mod, "_PAD_SEQ", "0")
+    monkeypatch.setenv("TUNEVLSEG_PAD_SEQ", "0")
     params_u, out_u = run()
     # padding must not create/rename params (converter compatibility)
     assert (jax.tree_util.tree_structure(params_p)

@@ -27,6 +27,8 @@ CASES = [
     "ultrasound  (2 cm)",                # double space + parens + digits
     "café lesion",                  # accent strip: café -> cafe (-> UNK)
     "肝臓 lesion 🏥",               # CJK chars split per-char (-> UNKs) + emoji
+    "benign &amp; malignant",       # html entity must NOT be unescaped (BERT)
+    "caf\u00e9 vs cafe\u0301",      # composed + decomposed accents (NFD strip)
     "polyp" * 30,                        # >100 chars -> single [UNK]
     "",                                  # empty
     "\tthe\nphoto ",                     # whitespace forms

@@ -11,8 +11,10 @@ The BPE algorithm and the standard CLIP vocabulary format
 (`bpe_simple_vocab_16e6.txt.gz`) are public; the merges file itself ships
 with every CLIP distribution and its path is supplied by config
 (`vocab_path`) — no network access required. Since this environment has no
-`ftfy`, text cleaning is a close approximation (NFKC + whitespace collapse),
-which matches ftfy output for ordinary ASCII/unicode prompts.
+`ftfy`, CLIP text cleaning is a close approximation (double html-unescape +
+NFC + whitespace collapse — ftfy's normalization IS NFC; see _clean_text),
+oracled vs HF fast tokenizers incl. a non-ASCII battery. WordPiece uses
+BERT's own cleaner (_bert_clean), NOT this one.
 """
 from __future__ import annotations
 
@@ -51,16 +53,20 @@ def _byte_unicode_table() -> dict[int, str]:
     return dict(zip(printable, (chr(c) for c in chars)))
 
 
-def _clean_text(text: str) -> str:
-    """ftfy-approximate cleanup (the reference's basic_clean,
-    clip/simple_tokenizer.py): double html-unescape + NFC + whitespace
-    collapse. ftfy's default normalization IS NFC — NFKC (used here
-    pre-r4) folded full-width forms/ligatures/ellipsis and diverged from
-    both ftfy and HF's fast tokenizers on those classes (oracled in
-    tests/test_clip_bpe_parity.py). Mojibake REPAIR (ftfy's other half) is
-    intentionally not replicated: garbage-encoded prompts tokenize as
-    their literal bytes, same as HF fast tokenizers."""
-    text = html.unescape(html.unescape(text))
+def _clean_text(text: str, unescape: bool = False) -> str:
+    """Text cleanup. Two reference behaviors, selected by `unescape`:
+
+    * False (HF CLIPTokenizerFast, the CLIPSeg data path): NFC + whitespace
+      collapse only — HF does NOT touch html entities ('&amp;' tokenizes
+      literally; oracled in tests/test_clip_bpe_parity.py).
+    * True (OpenAI SimpleTokenizer basic_clean, the CRIS/DenseCLIP path,
+      clip/simple_tokenizer.py): double html-unescape first. ftfy's default
+      normalization IS NFC — NFKC (used here pre-r4) folded full-width
+      forms/ligatures/ellipsis and diverged on those classes. Mojibake
+      REPAIR (ftfy's other half) is intentionally not replicated:
+      garbage-encoded prompts tokenize as their literal bytes."""
+    if unescape:
+        text = html.unescape(html.unescape(text))
     text = unicodedata.normalize("NFC", text)
     text = re.sub(r"\s+", " ", text)
     return text.strip()
@@ -134,8 +140,9 @@ class CLIPTokenizer:
         self._cache[token] = parts
         return parts
 
-    def encode(self, text: str, add_special_tokens: bool = True) -> list[int]:
-        text = _clean_text(text)
+    def encode(self, text: str, add_special_tokens: bool = True,
+               clean: str = "hf") -> list[int]:
+        text = _clean_text(text, unescape=(clean == "openai"))
         if self.lowercase:
             text = text.lower()
         ids: list[int] = []
@@ -185,11 +192,11 @@ class CLIPTokenizer:
             width = max_length
         else:  # "longest" — still deterministic per batch
             width = min(max_length,
-                        max(len(self.encode(t)) for t in texts))
+                        max(len(self.encode(t, clean=style)) for t in texts))
         input_ids = np.full((n, width), pad_id, np.int32)
         attention_mask = np.zeros((n, width), np.int32)
         for i, t in enumerate(texts):
-            ids = self.encode(t)
+            ids = self.encode(t, clean=style)
             if len(ids) > width:
                 ids = ids[:width]
                 ids[-1] = self.eos_token_id
@@ -240,8 +247,26 @@ class WordPieceTokenizer:
                 or 0x2B740 <= cp <= 0x2B81F or 0x2B820 <= cp <= 0x2CEAF
                 or 0xF900 <= cp <= 0xFAFF or 0x2F800 <= cp <= 0x2FA1F)
 
+    @staticmethod
+    def _bert_clean(text: str) -> str:
+        """BERT BasicTokenizer._clean_text semantics: drop NUL/U+FFFD and
+        control chars, map whitespace forms to ' '. NO html unescaping and
+        NO unicode normalization — those are CLIP's basic_clean (ftfy), and
+        applying them here diverged from BertTokenizerFast on entities like
+        '&amp;' (r4 code-review finding; oracled in
+        tests/test_wordpiece_parity.py)."""
+        out = []
+        for ch in text:
+            cp = ord(ch)
+            cat = unicodedata.category(ch)
+            if cp == 0 or cp == 0xFFFD or (cat.startswith("C")
+                                           and ch not in "\t\n\r"):
+                continue
+            out.append(" " if (ch in " \t\n\r" or cat == "Zs") else ch)
+        return "".join(out)
+
     def _basic_tokenize(self, text: str) -> list[str]:
-        text = _clean_text(text)
+        text = self._bert_clean(text)
         text = "".join(f" {c} " if self._is_cjk(ord(c)) else c for c in text)
         if self.lowercase:
             text = text.lower()

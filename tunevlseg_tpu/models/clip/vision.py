@@ -39,7 +39,10 @@ Dtype = Any
 # masking in nn/attention.py) and are sliced off every exposed hidden state,
 # so the numerics are IDENTICAL to the unpadded run.  "auto" pads on TPU
 # only; "1" forces (tests), "0" disables.
-_PAD_SEQ = os.environ.get("TUNEVLSEG_PAD_SEQ", "auto")
+# read at TRACE time (not import) so per-process A/B harnesses that flip
+# the env var between model builds (scripts/ab_env.py) actually compare two
+# different programs — an import-time constant silently reran variant A
+# (r4 code-review finding; the first ab_cris_padseq run was invalid)
 _PAD_MIN_SEQ = 256
 
 
@@ -56,7 +59,7 @@ def decoder_padded_len(s: int, multiple: int = 64) -> Optional[int]:
     a 64-multiple (676 -> 704, +4.1% rows) captures the tiling win without
     the +13.6% FLOP cost of a full 128 pad (676 -> 768). Same TUNEVLSEG_
     PAD_SEQ gating as the tower."""
-    mode = _PAD_SEQ
+    mode = os.environ.get("TUNEVLSEG_PAD_SEQ", "auto")
     if mode == "0" or s % multiple == 0 or s < _PAD_MIN_SEQ:
         return None
     if mode != "1" and jax.default_backend() != "tpu":

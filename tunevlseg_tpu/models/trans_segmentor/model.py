@@ -294,12 +294,13 @@ class TransformerSegmentor(nn.Module):
         ]
         self.decoder_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                          name="decoder_norm")
-        # channels-last upsampler: same conv-floor treatment as the CRIS
-        # backbone ("0" restores NCHW for A/B; default decided by the r4
-        # chip micro/e2e numbers)
-        up_layout = ("nchw"
-                     if os.environ.get("TUNEVLSEG_TRANSSEG_NHWC", "1") == "0"
-                     else "nhwc")
+        # channels-last upsampler, kept equivalence-tested behind
+        # TUNEVLSEG_TRANSSEG_NHWC=1: the r4 interleaved chip A/B measured
+        # 1.003x (noise; docs/ROOFLINE.md) so NCHW stays the default,
+        # same opt-in polarity as TUNEVLSEG_CRIS_NHWC
+        up_layout = ("nhwc"
+                     if os.environ.get("TUNEVLSEG_TRANSSEG_NHWC", "0") == "1"
+                     else "nchw")
         self.upsampler = Upsampler(c, layout=up_layout, dtype=self.dtype,
                                    name="upsampler")
 

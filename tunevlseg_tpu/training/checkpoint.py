@@ -40,17 +40,41 @@ class CheckpointManager:
     def _drain(self) -> None:
         """Wait for the in-flight async save, then atomically promote any
         staged checkpoint into its tag directory and write its meta.json.
-        The old tag directory survives until the replacement is fully on
-        disk, so a crash mid-save loses only the new checkpoint, never
-        both (the meta.json claim and the directory stay consistent)."""
+
+        Promotion order (every step an atomic same-dir rename): old tag ->
+        .old-{tag}, staging -> tag, write meta, delete .old-{tag}. A crash
+        at ANY point leaves a recoverable layout — the only gap (tag absent,
+        .old- present) is healed by the recovery sweep at the next drain.
+
+        Multi-host: orbax coordinates the collective save itself; the
+        host-side directory surgery must run on exactly ONE process
+        (process 0) or the renames race. Other processes still drain their
+        async machinery and barrier so nobody restores mid-promotion."""
         self._ckptr.wait_until_finished()
-        for tag, staging, meta in self._pending:
-            final = self.dir / tag
-            if final.exists():
-                shutil.rmtree(final)
-            staging.rename(final)
-            (self.dir / f"{tag}.json").write_text(
-                json.dumps(meta, default=float))
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("ckpt_drain_saved")
+        if jax.process_index() == 0:
+            for tag, staging, meta in self._pending:
+                final = self.dir / tag
+                old = self.dir / f".old-{tag}"
+                if old.exists():          # recovery from a previous crash
+                    shutil.rmtree(old)
+                if final.exists():
+                    final.rename(old)
+                staging.rename(final)
+                (self.dir / f"{tag}.json").write_text(
+                    json.dumps(meta, default=float))
+                if old.exists():
+                    shutil.rmtree(old)
+            # heal the crash gap: tag missing but .old- preserved
+            for old in self.dir.glob(".old-*"):
+                final = self.dir / old.name[len(".old-"):]
+                if not final.exists():
+                    old.rename(final)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("ckpt_drain_promoted")
         self._pending.clear()
 
     def wait(self) -> None:
@@ -74,8 +98,11 @@ class CheckpointManager:
         checkpoint intact instead of losing both."""
         self._drain()
         staging = (self.dir / f".staging-{tag}").resolve()
-        if staging.exists():
+        if staging.exists() and jax.process_index() == 0:
             shutil.rmtree(staging)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("ckpt_staging_clear")
         payload = {"trainable": state.trainable, "opt_state": state.opt_state,
                    "step": state.step, "rng": state.rng,
                    "model_state": state.model_state}

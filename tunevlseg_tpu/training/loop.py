@@ -71,8 +71,11 @@ class _PreemptionWatch:
             self.flag = True
 
         try:
+            prev = signal.signal(signal.SIGTERM, handler)
+            # getsignal() returns None for handlers installed from C —
+            # restore SIG_DFL in that case (passing None back raises)
             self._prev = (signal.SIGTERM,
-                          signal.signal(signal.SIGTERM, handler))
+                          signal.SIG_DFL if prev is None else prev)
         except ValueError:  # not the main thread (e.g. a test harness)
             self._prev = None
         return self
@@ -82,6 +85,20 @@ class _PreemptionWatch:
         if self._prev is not None:
             signal.signal(*self._prev)
             self._prev = None
+
+    def preempted(self) -> bool:
+        """Global preemption decision. On multi-host runs the local flag is
+        OR-reduced across processes FIRST: SIGTERM delivery is per-host and
+        unsynchronized, and a host that breaks into the checkpoint write
+        while another enters the next train step's all-reduce would deadlock
+        the pod on mismatched collectives. One tiny allgather per step group
+        is noise next to a train step."""
+        if jax.process_count() == 1:
+            return self.flag
+        from jax.experimental import multihost_utils
+        flags = multihost_utils.process_allgather(
+            np.asarray([self.flag], np.int32))
+        return bool(np.asarray(flags).max())
 
 
 @dataclasses.dataclass
@@ -280,6 +297,20 @@ class Trainer:
 
         global_step = int(state.step)
         watch = _PreemptionWatch().install()
+        try:
+            state = self._fit_epochs(watch, state, frozen, train_loader,
+                                     val_loader, start_epoch, global_step)
+        finally:
+            # not leaked on exceptions: a swallowed-SIGTERM process would
+            # need SIGKILL, which can wedge remote-TPU transports
+            watch.uninstall()
+        # saves are async (overlapping epoch compute); drain before the
+        # caller reads checkpoints (test-on-best) or the process exits
+        self.ckpt.wait()
+        return state
+
+    def _fit_epochs(self, watch, state, frozen, train_loader, val_loader,
+                    start_epoch, global_step):
         for epoch in range(start_epoch, self.max_epochs):
             train_loader.set_epoch(epoch)
             for group in self._train_groups(train_loader):
@@ -298,9 +329,12 @@ class Trainer:
                         (global_step - (len(group) if isinstance(group, list)
                                         else 1)) // self.log_every_n_steps):
                     self.metrics_log.log(m, global_step, prefix="train_")
-                if watch.flag:
+                if watch.preempted():
+                    preempted = True
                     break
-            if watch.flag:
+            else:
+                preempted = False
+            if preempted:
                 # resumable snapshot: epoch-1 = last COMPLETED epoch, so a
                 # ckpt_path=.../last resume re-runs this epoch from its
                 # start with the mid-epoch optimizer state (step counter
@@ -346,10 +380,6 @@ class Trainer:
             else:
                 self.ckpt.save("last", state,
                                {"epoch": epoch, **self._fit_extra()})
-        watch.uninstall()
-        # saves are async (overlapping epoch compute); drain before the
-        # caller reads checkpoints (test-on-best) or the process exits
-        self.ckpt.wait()
         return state
 
     def test(self, state, frozen, test_loader: DataLoader,

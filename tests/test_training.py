@@ -684,3 +684,41 @@ def test_sigterm_preemption_saves_resumable_last(cpu_mesh, rng, tmp_path):
     assert int(final2.step) >= int(final.step)
     # the pre-fit SIGTERM disposition is restored after fit
     assert signal.getsignal(signal.SIGTERM) == prev_handler
+
+
+def test_checkpoint_promotion_crash_recovery(rng, tmp_path):
+    """The promote order (old->aside, staging->tag, meta, delete aside) must
+    be crash-recoverable at its one gap: tag absent with .old- present is
+    healed by the next drain's recovery sweep."""
+    import shutil
+
+    from tunevlseg_tpu.training.checkpoint import CheckpointManager
+
+    cfg = CLIPSegConfig.tiny()
+    model = CLIPSegForSegmentation(cfg)
+    task = SegmentationTask(model, FreezeSpec(freeze_all=False))
+    batch = synthetic_batch(rng)
+    state, _ = task.init(jax.random.PRNGKey(0), batch)
+
+    mgr = CheckpointManager(tmp_path / "ck", monitor="val_dice")
+    mgr.save("last", state, {"epoch": 0})
+    mgr.wait()
+    assert (tmp_path / "ck" / "last").exists()
+
+    # simulate the crash gap: old moved aside, staging rename never happened
+    (tmp_path / "ck" / "last").rename(tmp_path / "ck" / ".old-last")
+    assert not (tmp_path / "ck" / "last").exists()
+
+    mgr2 = CheckpointManager(tmp_path / "ck", monitor="val_dice")
+    mgr2.wait()   # drain runs the recovery sweep
+    assert (tmp_path / "ck" / "last").exists()
+    assert not (tmp_path / "ck" / ".old-last").exists()
+    restored = mgr2.restore("last", state)
+    assert int(restored.step) == int(state.step)
+
+    # and a later successful save cleans the aside dir
+    state2 = state._replace(step=state.step + 1)
+    mgr2.save("last", state2, {"epoch": 1})
+    mgr2.wait()
+    assert not (tmp_path / "ck" / ".old-last").exists()
+    assert int(mgr2.restore("last", state).step) == int(state.step) + 1

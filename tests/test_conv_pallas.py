@@ -1,0 +1,209 @@
+"""Flat-space Pallas conv kernel (ops/conv_pallas.py) equivalence tests.
+
+The kernel runs in Pallas interpret mode on CPU; every case is checked
+against lax.conv_general_dilated with the same fused epilogue. The jnp
+reference formulation (`_conv_flat_ref`, which also backs the custom_vjp
+backward and the strict-off fallback) is checked independently.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tunevlseg_tpu.ops.conv_pallas as cp
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setattr(cp, "_INTERPRET", True)
+
+
+def xla_conv(x_nhwc, w_oihw, scale=None, offset=None, relu=False,
+             residual=None):
+    k = w_oihw.shape[2]
+    out = jax.lax.conv_general_dilated(
+        x_nhwc, jnp.transpose(w_oihw, (2, 3, 1, 0)), (1, 1),
+        [((k - 1) // 2, k // 2)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if scale is not None:
+        out = out * scale + offset
+    if residual is not None:
+        out = out + residual
+    return jnp.maximum(out, 0.0) if relu else out
+
+
+@pytest.mark.parametrize("cin,cout,k,hw,relu,affine,res", [
+    (8, 16, 3, (10, 12), True, True, False),
+    (16, 8, 1, (10, 12), False, True, False),
+    (8, 8, 3, (7, 9), True, False, True),
+    (4, 4, 5, (6, 6), False, True, False),
+    (128, 32, 3, (8, 8), True, True, False),  # taps mode (C >= 128)
+])
+def test_conv_flat_matches_xla(cin, cout, k, hw, relu, affine, res):
+    rng = np.random.RandomState(0)
+    h, w = hw
+    x = jnp.asarray(rng.randn(2, h, w, cin), jnp.float32)
+    wt = jnp.asarray(rng.randn(cout, cin, k, k) * 0.1, jnp.float32)
+    sc = jnp.asarray(rng.rand(cout) + 0.5, jnp.float32) if affine else None
+    of = jnp.asarray(rng.randn(cout) * 0.1, jnp.float32) if affine else None
+    spec = cp.make_flat_spec(h, w, max(k // 2, 1), mb=64)
+    residual = res_nhwc = None
+    if res:
+        res_nhwc = jnp.asarray(rng.randn(2, h, w, cout), jnp.float32)
+        residual = cp.flat_begin(res_nhwc, spec)
+    out = cp.flat_end(
+        cp.conv_flat(cp.flat_begin(x, spec), spec, wt, sc, of, relu,
+                     residual), spec)
+    ref = xla_conv(x, wt, sc, of, relu, res_nhwc)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+    wm = jnp.transpose(wt, (2, 3, 1, 0)).reshape(k * k * cin, cout)
+    out2 = cp.flat_end(
+        cp._conv_flat_ref(
+            spec, relu, cp.flat_begin(x, spec), wm,
+            sc if sc is not None else jnp.ones((cout,), jnp.float32),
+            of if of is not None else jnp.zeros((cout,), jnp.float32),
+            residual), spec)
+    np.testing.assert_allclose(out2, ref, atol=2e-5)
+
+
+def test_chained_stage_in_flat_space():
+    """A bottleneck-shaped chain (1x1 -> 3x3 -> 1x1 + residual, fused
+    affine/ReLU) stays correct across chained flat convs: the guard bands
+    and masked pads written by conv N are what conv N+1 consumes."""
+    rng = np.random.RandomState(1)
+    h, w, c, mid = 9, 11, 16, 8
+    x = jnp.asarray(rng.randn(2, h, w, c), jnp.float32)
+    w1 = jnp.asarray(rng.randn(mid, c, 1, 1) * 0.2, jnp.float32)
+    w2 = jnp.asarray(rng.randn(mid, mid, 3, 3) * 0.2, jnp.float32)
+    w3 = jnp.asarray(rng.randn(c, mid, 1, 1) * 0.2, jnp.float32)
+    sc = [jnp.asarray(rng.rand(n) + 0.5, jnp.float32) for n in (mid, mid, c)]
+    of = [jnp.asarray(rng.randn(n) * 0.1, jnp.float32) for n in (mid, mid, c)]
+
+    spec = cp.make_flat_spec(h, w, 1, mb=64)
+    f = cp.flat_begin(x, spec)
+    y = cp.conv_flat(f, spec, w1, sc[0], of[0], relu=True)
+    y = cp.conv_flat(y, spec, w2, sc[1], of[1], relu=True)
+    y = cp.conv_flat(y, spec, w3, sc[2], of[2], relu=True, residual=f)
+    out = cp.flat_end(y, spec)
+
+    r = xla_conv(x, w1, sc[0], of[0], True)
+    r = xla_conv(r, w2, sc[1], of[1], True)
+    r = xla_conv(r, w3, sc[2], of[2], True, residual=x)
+    np.testing.assert_allclose(out, r, atol=2e-5)
+
+
+def test_custom_vjp_matches_xla_grads():
+    rng = np.random.RandomState(2)
+    h, w, c = 8, 8, 8
+    x = jnp.asarray(rng.randn(1, h, w, c), jnp.float32)
+    wt = jnp.asarray(rng.randn(c, c, 3, 3) * 0.1, jnp.float32)
+    sc = jnp.asarray(rng.rand(c) + 0.5, jnp.float32)
+    of = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
+    spec = cp.make_flat_spec(h, w, 1, mb=64)
+
+    def loss_p(x, wt, sc, of):
+        y = cp.conv_flat(cp.flat_begin(x, spec), spec, wt, sc, of, True)
+        return jnp.sum(cp.flat_end(y, spec) ** 2)
+
+    def loss_r(x, wt, sc, of):
+        return jnp.sum(xla_conv(x, wt, sc, of, True) ** 2)
+
+    gp = jax.grad(loss_p, (0, 1, 2, 3))(x, wt, sc, of)
+    gr = jax.grad(loss_r, (0, 1, 2, 3))(x, wt, sc, of)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(a, b, atol=5e-5)
+
+
+def test_spec_rejects_band_smaller_than_lead():
+    with pytest.raises(ValueError):
+        cp.make_flat_spec(64, 64, 1, mb=8)
+
+
+def test_modified_resnet_flat_matches_nchw():
+    """The flat-layout backbone (layout="flat", mixed flat/NHWC stages)
+    reproduces the NCHW ModifiedResNet bit-for-bit structure: identical
+    param tree, matching (C3, C4, C5') outputs. Runs the jnp reference
+    path of the kernel on CPU — the same math the TPU kernel computes."""
+    from tunevlseg_tpu.models.cris.resnet import ModifiedResNet
+
+    rng = np.random.RandomState(4)
+    kw = dict(layers=(1, 1, 1, 1), output_dim=32, heads=8,
+              input_resolution=64, width=8)
+    m_ref = ModifiedResNet(layout="nchw", **kw)
+    # exercise both flat stages and NHWC-passthrough stages in one model
+    m_flat = ModifiedResNet(layout="flat",
+                            flat_stages=("stem", "1", "2", "4"), **kw)
+    x = jnp.asarray(rng.randn(2, 3, 64, 64), jnp.float32)
+    variables = m_ref.init(jax.random.PRNGKey(0), x)
+    out_ref = m_ref.apply(variables, x)
+    out_flat = m_flat.apply(variables, x)
+    assert jax.tree_util.tree_structure(
+        m_flat.init(jax.random.PRNGKey(0), x)) == \
+        jax.tree_util.tree_structure(variables)
+    for a, b in zip(out_flat, out_ref):
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+
+def test_d2_resnet_flat_matches_default(monkeypatch):
+    """TUNEVLSEG_PALLAS_CONV=1 routes the stride-1 blocks of the
+    FreeSOLO/SOLOv2 backbone through the flat kernel: identical param
+    tree, matching res2..res5 features."""
+    from tunevlseg_tpu.models.solov2.backbone import D2ResNet
+
+    rng = np.random.RandomState(5)
+    m = D2ResNet(depth=50, stem_out=8, res2_out=16)
+    x = jnp.asarray(rng.randn(1, 3, 64, 64), jnp.float32)
+    monkeypatch.delenv("TUNEVLSEG_PALLAS_CONV", raising=False)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    out_ref = m.apply(variables, x)
+    monkeypatch.setenv("TUNEVLSEG_PALLAS_CONV", "1")
+    out_flat = m.apply(variables, x)
+    vars_flat = m.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(vars_flat) == \
+        jax.tree_util.tree_structure(variables)
+    for kname in out_ref:
+        np.testing.assert_allclose(out_flat[kname], out_ref[kname],
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_denseclip_backbone_flat_matches_default(monkeypatch):
+    """TUNEVLSEG_PALLAS_CONV=1 routes the frozen-BN DenseCLIP RN backbone
+    through the flat kernel with identical outputs and param tree."""
+    from tunevlseg_tpu.models.denseclip.model import (CLIPResNetWithAttention,
+                                                      DenseCLIPConfig)
+
+    rng = np.random.RandomState(6)
+    cfg = DenseCLIPConfig(vision_layers=(1, 1, 1, 1), vision_width=8,
+                          input_resolution=64, embed_dim=16)
+    m = CLIPResNetWithAttention(cfg)
+    x = jnp.asarray(rng.randn(1, 3, 64, 64), jnp.float32)
+    monkeypatch.delenv("TUNEVLSEG_PALLAS_CONV", raising=False)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    out_ref = m.apply(variables, x)
+    monkeypatch.setenv("TUNEVLSEG_PALLAS_CONV", "1")
+    out_flat = m.apply(variables, x)
+    assert jax.tree_util.tree_structure(m.init(jax.random.PRNGKey(0), x)) \
+        == jax.tree_util.tree_structure(variables)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4),
+        out_flat, out_ref)
+
+
+def test_jitted_and_bf16():
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 8, 8, 16), jnp.bfloat16)
+    wt = jnp.asarray(rng.randn(16, 16, 3, 3) * 0.1, jnp.float32)
+    spec = cp.make_flat_spec(8, 8, 1, mb=64)
+
+    @jax.jit
+    def f(x, wt):
+        return cp.flat_end(
+            cp.conv_flat(cp.flat_begin(x, spec), spec, wt.astype(x.dtype)),
+            spec)
+
+    out = f(x, wt)
+    assert out.dtype == jnp.bfloat16
+    ref = xla_conv(x.astype(jnp.float32), wt)
+    np.testing.assert_allclose(out.astype(jnp.float32), ref,
+                               atol=0.15, rtol=0.05)

@@ -167,10 +167,21 @@ class CRISForSegmentation(nn.Module):
         # future hardware/compiler generations.
         layout = ("nhwc" if os.environ.get("TUNEVLSEG_CRIS_NHWC", "0") == "1"
                   else "nchw")
+        # Flat-space Pallas conv backbone (TUNEVLSEG_PALLAS_CONV): "1" runs
+        # every stage through ops/conv_pallas.py; a comma list like
+        # "stem,1,2" restricts it to those stages. Read here (setup == trace
+        # time) so ab_env.py A/Bs are valid (CLAUDE.md r4 gotcha).
+        pconv = os.environ.get("TUNEVLSEG_PALLAS_CONV", "0")
+        flat_stages: tuple = ("stem", "1", "2", "3", "4")
+        if pconv not in ("0", ""):
+            layout = "flat"
+            if pconv not in ("1", "auto"):
+                flat_stages = tuple(s.strip() for s in pconv.split(","))
         self.backbone_visual = ModifiedResNet(
             tuple(c.vision_layers), c.embed_dim, c.vision_heads,
             c.image_resolution, c.vision_width, use_running_average=True,
-            layout=layout, dtype=self.dtype, name="visual")
+            layout=layout, flat_stages=flat_stages, dtype=self.dtype,
+            name="visual")
         self.backbone_text = CLIPTextTransformer(c, dtype=self.dtype,
                                                  name="text")
         self.neck = FPN(tuple(c.fpn_in), tuple(c.fpn_out),

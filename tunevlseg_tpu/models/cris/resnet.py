@@ -20,6 +20,8 @@ from flax import linen as nn
 
 from tunevlseg_tpu.nn.attention import dot_product_attention
 from tunevlseg_tpu.nn.conv import Conv2d, conv2d
+from tunevlseg_tpu.ops.conv_pallas import (FlatSpec, conv_flat, flat_begin,
+                                           flat_end, make_flat_spec)
 from tunevlseg_tpu.ops.image import resize_2d
 
 Dtype = Any
@@ -37,14 +39,19 @@ class BatchNorm2d(nn.Module):
     layout: str = "nchw"
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.scale_p = self.param("weight", nn.initializers.ones,
+                                  (self.features,))
+        self.bias_p = self.param("bias", nn.initializers.zeros,
+                                 (self.features,))
+        self.ra_mean = self.variable("batch_stats", "running_mean",
+                                     lambda: jnp.zeros((self.features,)))
+        self.ra_var = self.variable("batch_stats", "running_var",
+                                    lambda: jnp.ones((self.features,)))
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        scale = self.param("weight", nn.initializers.ones, (self.features,))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        ra_mean = self.variable("batch_stats", "running_mean",
-                                lambda: jnp.zeros((self.features,)))
-        ra_var = self.variable("batch_stats", "running_var",
-                               lambda: jnp.ones((self.features,)))
+        scale, bias = self.scale_p, self.bias_p
+        ra_mean, ra_var = self.ra_mean, self.ra_var
         nhwc = self.layout == "nhwc"
         axes = (0, 1, 2) if nhwc else (0, 2, 3)
         if self.use_running_average:
@@ -65,6 +72,14 @@ class BatchNorm2d(nn.Module):
         out = (x.astype(jnp.float32) - mean.reshape(shape)) * inv.reshape(shape)
         out = out * scale.reshape(shape) + bias.reshape(shape)
         return out.astype(x.dtype)
+
+    def folded_affine(self) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Fold the frozen BN into a per-channel (scale, offset) pair for
+        the fused Pallas conv epilogue. Only valid with running stats."""
+        assert self.use_running_average, "BN folding requires frozen stats"
+        inv = jax.lax.rsqrt(self.ra_var.value + self.epsilon)
+        s = self.scale_p * inv
+        return s, self.bias_p - self.ra_mean.value * s
 
 
 class BatchNorm1d(nn.Module):
@@ -122,13 +137,54 @@ class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     use_running_average: bool = True
-    layout: str = "nchw"
+    layout: str = "nchw"                 # "nchw" | "nhwc" | "flat"
+    flat_spec_in: FlatSpec | None = None
+    flat_spec_out: FlatSpec | None = None
     dtype: Dtype = jnp.float32
 
     EXPANSION = 4
 
+    def _flat(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Flat-space Pallas execution (ops/conv_pallas.py): the whole
+        bottleneck — 1x1/3x3/1x1 with folded frozen-BN affines, the
+        residual add and both ReLUs — runs as fused flat convs; a stride-2
+        block transitions spec via flat_end -> avgpool -> flat_begin."""
+        assert self.use_running_average, "flat path requires frozen BN"
+        si = self.flat_spec_in
+        so = self.flat_spec_out or si
+        p = self.planes
+
+        def conv_w(ci, co, k, name):
+            return Conv2d(ci, co, k, padding=k // 2, use_bias=False,
+                          dtype=self.dtype, name=name).materialize_weight()
+
+        def aff(f, name):
+            return BatchNorm2d(f, True, name=name).folded_affine()
+
+        w1 = conv_w(self.inplanes, p, 1, "conv1")
+        out = conv_flat(x, si, w1, *aff(p, "bn1"), relu=True)
+        w2 = conv_w(p, p, 3, "conv2")
+        out = conv_flat(out, si, w2, *aff(p, "bn2"), relu=True)
+        if self.stride > 1:
+            out = flat_begin(avg_pool_nhwc(flat_end(out, si), self.stride),
+                             so)
+        w3 = conv_w(p, p * self.EXPANSION, 1, "conv3")
+        s3, o3 = aff(p * self.EXPANSION, "bn3")
+        if self.stride > 1 or self.inplanes != p * self.EXPANSION:
+            idn = x if self.stride == 1 else flat_begin(
+                avg_pool_nhwc(flat_end(x, si), self.stride), so)
+            wd = conv_w(self.inplanes, p * self.EXPANSION, 1,
+                        "downsample_conv")
+            identity = conv_flat(idn, so, wd,
+                                 *aff(p * self.EXPANSION, "downsample_bn"))
+        else:
+            identity = x
+        return conv_flat(out, so, w3, s3, o3, relu=True, residual=identity)
+
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.layout == "flat":
+            return self._flat(x)
         ura = self.use_running_average
         lo = self.layout
         pool = avg_pool_nhwc if lo == "nhwc" else avg_pool_nchw
@@ -227,12 +283,90 @@ class ModifiedResNet(nn.Module):
     input_resolution: int = 224
     width: int = 64
     use_running_average: bool = True
-    layout: str = "nchw"
+    layout: str = "nchw"                 # "nchw" | "nhwc" | "flat"
+    flat_stages: Sequence[str] = ("stem", "1", "2", "3", "4")
     dtype: Dtype = jnp.float32
+
+    def _flat_forward(self, x: jnp.ndarray):
+        """layout="flat": the stages named in `flat_stages` run as
+        flat-space Pallas conv chains (ops/conv_pallas.py) — one
+        pad/reshape on stage entry, fused conv+BN+ReLU(+residual) bands
+        inside, one slice on exit; everything else (stem conv1 with its
+        3 input channels, the avgpools, stages not listed, attnpool)
+        stays on the XLA NHWC path. Requires frozen BN (always true for
+        the CRIS/CLIP backbone, which the reference freezes outright)."""
+        assert self.use_running_average, "flat layout requires frozen BN"
+        itemsize = jnp.dtype(self.dtype).itemsize
+        x = x.transpose(0, 2, 3, 1)
+        w = self.width
+        x = Conv2d(3, w // 2, 3, stride=2, padding=1, use_bias=False,
+                   layout="nhwc", dtype=self.dtype, name="conv1")(x)
+        x = nn.relu(BatchNorm2d(w // 2, True, layout="nhwc", name="bn1")(x))
+        stem_tail = ((w // 2, w // 2, "conv2", "bn2"),
+                     (w // 2, w, "conv3", "bn3"))
+        if "stem" in self.flat_stages:
+            spec = make_flat_spec(x.shape[1], x.shape[2], 1,
+                                  max_k2c=9 * (w // 2), itemsize=itemsize)
+            f = flat_begin(x, spec)
+            for ci, co, cn, bn in stem_tail:
+                wt = Conv2d(ci, co, 3, padding=1, use_bias=False,
+                            dtype=self.dtype, name=cn).materialize_weight()
+                sc, of = BatchNorm2d(co, True, name=bn).folded_affine()
+                f = conv_flat(f, spec, wt, sc, of, relu=True)
+            x = flat_end(f, spec)
+        else:
+            for ci, co, cn, bn in stem_tail:
+                x = Conv2d(ci, co, 3, padding=1, use_bias=False,
+                           layout="nhwc", dtype=self.dtype, name=cn)(x)
+                x = nn.relu(BatchNorm2d(co, True, layout="nhwc",
+                                        name=bn)(x))
+        x = avg_pool_nhwc(x, 2)
+
+        inplanes = w
+        feats = []
+        for stage, (planes, blocks) in enumerate(
+                zip((w, w * 2, w * 4, w * 8), self.layers), start=1):
+            stride = 1 if stage == 1 else 2
+            if str(stage) in self.flat_stages:
+                spec_in = make_flat_spec(x.shape[1], x.shape[2], 1,
+                                         max_k2c=9 * planes,
+                                         itemsize=itemsize)
+                spec_out = spec_in if stride == 1 else make_flat_spec(
+                    x.shape[1] // stride, x.shape[2] // stride, 1,
+                    max_k2c=9 * planes, itemsize=itemsize)
+                f = flat_begin(x, spec_in)
+                for b in range(blocks):
+                    f = Bottleneck(inplanes, planes,
+                                   stride if b == 0 else 1, True,
+                                   layout="flat",
+                                   flat_spec_in=spec_in if b == 0
+                                   else spec_out,
+                                   flat_spec_out=spec_out,
+                                   dtype=self.dtype,
+                                   name=f"layer{stage}_{b}")(f)
+                    inplanes = planes * Bottleneck.EXPANSION
+                x = flat_end(f, spec_out)
+            else:
+                for b in range(blocks):
+                    x = Bottleneck(inplanes, planes,
+                                   stride if b == 0 else 1, True,
+                                   layout="nhwc", dtype=self.dtype,
+                                   name=f"layer{stage}_{b}")(x)
+                    inplanes = planes * Bottleneck.EXPANSION
+            feats.append(x)
+
+        c5 = AttentionPool2d(self.input_resolution // 32, w * 32,
+                             self.heads, self.output_dim, True,
+                             layout="nhwc", dtype=self.dtype,
+                             name="attnpool")(feats[3])
+        return (feats[1].transpose(0, 3, 1, 2),
+                feats[2].transpose(0, 3, 1, 2), c5)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
         """(B, 3, H, W) -> (C3, C4, C5') with strides 8/16/32 (all NCHW)."""
+        if self.layout == "flat":
+            return self._flat_forward(x)
         ura = self.use_running_average
         lo = self.layout
         nhwc = lo == "nhwc"

@@ -22,6 +22,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from tunevlseg_tpu.nn.conv import Conv2d, conv2d
+from tunevlseg_tpu.ops.conv_pallas import (FlatSpec, conv_flat, flat_begin,
+                                           flat_end, make_flat_spec)
 
 Dtype = Any
 
@@ -32,17 +34,24 @@ class FrozenBN(nn.Module):
     features: int
     epsilon: float = 1e-5
 
-    @nn.compact
+    def setup(self):
+        self.w = self.param("weight", nn.initializers.ones, (self.features,))
+        self.b = self.param("bias", nn.initializers.zeros, (self.features,))
+        self.mean = self.param("running_mean", nn.initializers.zeros,
+                               (self.features,))
+        self.var = self.param("running_var", nn.initializers.ones,
+                              (self.features,))
+
+    def folded_affine(self) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """(scale, offset) for the fused Pallas conv epilogue."""
+        inv = jax.lax.rsqrt(self.var + self.epsilon)
+        s = self.w * inv
+        return s, self.b - self.mean * s
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        w = self.param("weight", nn.initializers.ones, (self.features,))
-        b = self.param("bias", nn.initializers.zeros, (self.features,))
-        mean = self.param("running_mean", nn.initializers.zeros,
-                          (self.features,))
-        var = self.param("running_var", nn.initializers.ones, (self.features,))
-        scale = (w * jax.lax.rsqrt(var + self.epsilon)).reshape(1, -1, 1, 1)
-        shift = (b - mean * w * jax.lax.rsqrt(var + self.epsilon)
-                 ).reshape(1, -1, 1, 1)
-        return x * scale.astype(x.dtype) + shift.astype(x.dtype)
+        s, o = self.folded_affine()
+        return (x * s.reshape(1, -1, 1, 1).astype(x.dtype)
+                + o.reshape(1, -1, 1, 1).astype(x.dtype))
 
 
 def max_pool_nchw(x: jnp.ndarray, window: int, stride: int,
@@ -59,10 +68,36 @@ class BottleneckBlock(nn.Module):
     out_channels: int
     stride: int = 1
     stride_in_1x1: bool = False
+    flat_spec: FlatSpec | None = None   # set => x is flat, stride must be 1
     dtype: Dtype = jnp.float32
+
+    def _flat(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Flat-space Pallas execution for the stride-1 blocks (the bulk
+        of R50/R101: every block but the first of each stage). FrozenBN
+        affines, the residual add and all ReLUs fuse into the convs."""
+        assert self.stride == 1 and self.in_channels == self.out_channels
+        spec = self.flat_spec
+        bc = self.bottleneck_channels
+
+        def conv_w(ci, co, k, name):
+            return Conv2d(ci, co, k, padding=k // 2, use_bias=False,
+                          dtype=self.dtype, name=name).materialize_weight()
+
+        out = conv_flat(x, spec, conv_w(self.in_channels, bc, 1, "conv1"),
+                        *FrozenBN(bc, name="conv1_norm").folded_affine(),
+                        relu=True)
+        out = conv_flat(out, spec, conv_w(bc, bc, 3, "conv2"),
+                        *FrozenBN(bc, name="conv2_norm").folded_affine(),
+                        relu=True)
+        return conv_flat(out, spec, conv_w(bc, self.out_channels, 1, "conv3"),
+                         *FrozenBN(self.out_channels,
+                                   name="conv3_norm").folded_affine(),
+                         relu=True, residual=x)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.flat_spec is not None:
+            return self._flat(x)
         s1, s3 = ((self.stride, 1) if self.stride_in_1x1
                   else (1, self.stride))
         out = Conv2d(self.in_channels, self.bottleneck_channels, 1, stride=s1,
@@ -99,18 +134,51 @@ class D2ResNet(nn.Module):
         x = nn.relu(FrozenBN(self.stem_out, name="stem_conv1_norm")(x))
         x = max_pool_nchw(x, 3, 2, 1)
 
+        # Flat-space Pallas conv execution (TUNEVLSEG_PALLAS_CONV, read at
+        # trace time): the stride-1 blocks of each stage — all of res2 past
+        # block 0, and blocks 1+ of res3/4/5 — chain through
+        # ops/conv_pallas.py with one NCHW<->flat boundary per stage. The
+        # strided block 0 stays on the XLA path.
+        import os
+        use_flat = os.environ.get("TUNEVLSEG_PALLAS_CONV", "0") not in ("0", "")
+        itemsize = jnp.dtype(self.dtype).itemsize
+
         feats = {}
         in_ch = self.stem_out
         out_ch = self.res2_out
         bottleneck = self.res2_out // 4
         for stage_idx, n_blocks in enumerate(RESNET_STAGE_BLOCKS[self.depth],
                                              start=2):
-            for b in range(n_blocks):
-                stride = 2 if (b == 0 and stage_idx > 2) else 1
-                x = BottleneckBlock(
-                    in_ch, bottleneck, out_ch, stride,
-                    dtype=self.dtype, name=f"res{stage_idx}_{b}")(x)
+            start = 0
+            if use_flat:
+                # block 0 (strided past res2, and/or with the projection
+                # shortcut) stays on the XLA path
+                x = BottleneckBlock(in_ch, bottleneck, out_ch,
+                                    2 if stage_idx > 2 else 1,
+                                    dtype=self.dtype,
+                                    name=f"res{stage_idx}_0")(x)
                 in_ch = out_ch
+                start = 1
+            if use_flat and n_blocks > start:
+                spec = make_flat_spec(x.shape[2], x.shape[3], 1,
+                                      max_k2c=9 * bottleneck,
+                                      itemsize=itemsize)
+                f = flat_begin(x.transpose(0, 2, 3, 1), spec)
+                for b in range(start, n_blocks):
+                    stride = 2 if (b == 0 and stage_idx > 2) else 1
+                    f = BottleneckBlock(
+                        in_ch, bottleneck, out_ch, stride,
+                        flat_spec=spec, dtype=self.dtype,
+                        name=f"res{stage_idx}_{b}")(f)
+                    in_ch = out_ch
+                x = flat_end(f, spec).transpose(0, 3, 1, 2)
+            else:
+                for b in range(start, n_blocks):
+                    stride = 2 if (b == 0 and stage_idx > 2) else 1
+                    x = BottleneckBlock(
+                        in_ch, bottleneck, out_ch, stride,
+                        dtype=self.dtype, name=f"res{stage_idx}_{b}")(x)
+                    in_ch = out_ch
             feats[f"res{stage_idx}"] = x
             out_ch *= 2
             bottleneck *= 2

@@ -146,18 +146,31 @@ class Conv2d(nn.Module):
     layout: str = "nchw"
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def setup(self):
         kh, kw = _pair(self.kernel_size)
         fan_in = self.in_channels * kh * kw
-        weight = self.param("weight", _torch_conv_init(fan_in),
-                            (self.out_channels, self.in_channels, kh, kw))
-        if self.bias_init_value is not None:
-            bias_initializer = nn.initializers.constant(self.bias_init_value)
-        else:
-            bias_initializer = _torch_conv_init(fan_in)
-        bias = (self.param("bias", bias_initializer, (self.out_channels,))
-                if self.use_bias else None)
+        self.weight = self.param(
+            "weight", _torch_conv_init(fan_in),
+            (self.out_channels, self.in_channels, kh, kw))
+        if self.use_bias:
+            if self.bias_init_value is not None:
+                bias_initializer = nn.initializers.constant(
+                    self.bias_init_value)
+            else:
+                bias_initializer = _torch_conv_init(fan_in)
+            self.bias = self.param("bias", bias_initializer,
+                                   (self.out_channels,))
+
+    def materialize_weight(self) -> jnp.ndarray:
+        """Return the OIHW weight without running the conv — the
+        flat-space Pallas conv path (ops/conv_pallas.py) consumes raw
+        parameters while keeping the checkpoint tree identical."""
+        assert not self.use_bias, "flat conv path is bias-free"
+        return self.weight
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        weight = self.weight
+        bias = self.bias if self.use_bias else None
         if self.layout == "nhwc":
             return conv2d_nhwc(x.astype(self.dtype), weight, bias,
                                self.stride, self.padding,

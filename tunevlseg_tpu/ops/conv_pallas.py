@@ -1,0 +1,357 @@
+"""Flat-space Pallas TPU conv kernels for the small-channel "conv-emitter
+floor" stages (docs/ROOFLINE.md: RN50 stem/layer1/layer2 run at 13-25% MFU
+under the XLA conv emitter at C<=128, and every source-level layout or
+einsum reformulation was measured to cancel at the graph level).
+
+The idea: keep activations in a PADDED, ROW-FLATTENED layout
+    (B, ROWS, C)   with pixel (h, w) of the zero-padded (Hp, Wp) plane
+                   stored at row  MB + h*Wp + w,
+so that every tap (dy, dx) of a stride-1 kxk convolution is a CONSTANT
+row offset (dy-r)*Wp + (dx-r).  The im2col patch matrix for a band of MB
+output rows is then built by k*k contiguous sublane-shifted copies inside
+VMEM, and the conv becomes ONE large GEMM
+
+    (MB, k*k*C) @ (k*k*C, Cout)
+
+whose contraction depth k*k*C fills the 128-deep MXU (K=576 for the
+k=3/C=64 stages) instead of the K=64 quarter-utilization regime the conv
+emitter hits at these shapes.  The first and last band of each image are
+guard bands (written as zeros, never computed), which makes the layout
+CHAINABLE: a whole stride-1 stage (1x1s, 3x3s, residual adds, fused
+frozen-BN affines and ReLUs) runs flat with a single pad/reshape on entry
+and one slice on exit.
+
+Reference counterpart: the implicit cuDNN conv layer under
+/root/reference/src/models/components/cris_model/clip.py:185-275 (CLIP
+ModifiedResNet) and detectron2/modelling/backbone/resnet.py (FreeSOLO
+R101); there is no reference kernel code — this is TPU-native design.
+
+Numerics: taps accumulate in f32 on the MXU, the fused affine/residual/
+ReLU epilogue runs in f32, outputs cast back to the input dtype — the
+same contract as the XLA path (nn/conv.py).
+
+Gradients: `conv_flat` carries a custom_vjp whose backward differentiates
+the jnp reference formulation (`_conv_flat_ref`, identical tap-shift math
+on the flat layout), so e2e-trainable paths stay correct; the frozen
+prompt-tuning benchmark never takes it.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_INTERPRET = False  # flipped by tests on CPU
+_FORCE_MODE: Optional[str] = None  # "im2col" | "taps" — micro-bench override
+
+
+def _strict() -> bool:
+    """TUNEVLSEG_PCONV=strict: kernel failures RAISE instead of silently
+    falling back to the jnp reference path (same contract as
+    TUNEVLSEG_FLASH=strict)."""
+    return os.environ.get("TUNEVLSEG_PCONV", "") == "strict"
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@dataclasses.dataclass(frozen=True)
+class FlatSpec:
+    """Geometry of one flat space: a stride-1 conv chain at fixed (H, W).
+
+    All arrays in the space are (B, ROWS, C) with pixel (h, w) of the
+    r-padded (Hp, Wp) plane at row MB + h*Wp + w; rows [0, MB) and
+    [(nb_pix+1)*MB, ROWS) are zero guard bands, rows beyond the pixel
+    block inside the middle bands are masked to zero by the kernel.
+    """
+
+    h: int
+    w: int
+    r: int          # max tap radius hosted by this space (k <= 2r+1)
+    mb: int         # band height (rows per grid step), multiple of 8
+
+    @property
+    def hp(self) -> int:
+        return self.h + 2 * self.r
+
+    @property
+    def wp(self) -> int:
+        return self.w + 2 * self.r
+
+    @property
+    def mp(self) -> int:
+        return self.hp * self.wp
+
+    @property
+    def lead(self) -> int:
+        return self.r * self.wp + self.r
+
+    @property
+    def nb_pix(self) -> int:
+        return -(-self.mp // self.mb)
+
+    @property
+    def rows(self) -> int:
+        return (self.nb_pix + 2) * self.mb
+
+
+def make_flat_spec(h: int, w: int, r: int = 1, mb: Optional[int] = None,
+                   max_k2c: Optional[int] = None,
+                   itemsize: int = 2) -> FlatSpec:
+    """Pick a band height: big enough to engage every MXU and amortize
+    per-band overhead, small enough that the im2col patch scratch
+    (mb x max_k2c) stays ~<=3MB of VMEM, and always >= the tap lead
+    r*Wp + r so band-1 reads stay in bounds."""
+    wp = w + 2 * r
+    lead = r * wp + r
+    if mb is None:
+        mb = 2048
+        if max_k2c:
+            mb = min(mb, (3 * 2 ** 20) // (max_k2c * itemsize))
+        mb = max(mb, lead)
+        mb = _ceil_to(max(mb, 256), 8)
+    spec = FlatSpec(h, w, r, mb)
+    if spec.mb < spec.lead:
+        raise ValueError(f"band {spec.mb} < lead {spec.lead}")
+    return spec
+
+
+def flat_begin(x_nhwc: jnp.ndarray, spec: FlatSpec) -> jnp.ndarray:
+    """(B, H, W, C) -> flat (B, ROWS, C) with zero pads and guard bands."""
+    b, h, w, c = x_nhwc.shape
+    assert (h, w) == (spec.h, spec.w), (x_nhwc.shape, spec)
+    r = spec.r
+    xp = jnp.pad(x_nhwc, ((0, 0), (r, r), (r, r), (0, 0)))
+    flat = xp.reshape(b, spec.mp, c)
+    return jnp.pad(flat, ((0, 0), (spec.mb, spec.rows - spec.mb - spec.mp),
+                          (0, 0)))
+
+
+def flat_end(flat: jnp.ndarray, spec: FlatSpec) -> jnp.ndarray:
+    """flat (B, ROWS, C) -> (B, H, W, C) (drops guards and spatial pad)."""
+    b, _, c = flat.shape
+    r = spec.r
+    x = flat[:, spec.mb:spec.mb + spec.mp].reshape(b, spec.hp, spec.wp, c)
+    return x[:, r:spec.hp - r, r:spec.wp - r]
+
+
+def _tap_offsets(spec: FlatSpec, k: int):
+    r = k // 2
+    return [(dy - r) * spec.wp + (dx - r) for dy in range(k)
+            for dx in range(k)]
+
+
+def _conv_flat_ref(spec: FlatSpec, relu: bool, x, w_mat, scale, offset,
+                   residual):
+    """jnp reference of the flat conv (differentiable; used for the
+    custom_vjp backward, interpret-free CPU tests, and strict-off
+    fallback). x (B, ROWS, C), w_mat (k*k*C, Cout)."""
+    c = x.shape[-1]
+    k2 = w_mat.shape[0] // c
+    k = int(round(k2 ** 0.5))
+    offs = _tap_offsets(spec, k)
+    lead = spec.lead
+    xg = jnp.pad(x, ((0, 0), (lead, lead), (0, 0)))
+    acc = None
+    for t, off in enumerate(offs):
+        sl = jax.lax.dynamic_slice_in_dim(xg, lead + off, spec.rows, 1)
+        part = jnp.einsum("bmc,co->bmo", sl,
+                          w_mat[t * c:(t + 1) * c].astype(sl.dtype),
+                          preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    acc = acc * scale[None, None] + offset[None, None]
+    if residual is not None:
+        acc = acc + residual.astype(jnp.float32)
+    if relu:
+        acc = jnp.maximum(acc, 0.0)
+    rowid = jnp.arange(spec.rows)[None, :, None]
+    p = rowid - spec.mb
+    pc = jnp.maximum(p, 0)
+    hh, ww = pc // spec.wp, pc % spec.wp
+    r = spec.r
+    valid = ((p >= 0) & (hh >= r) & (hh < spec.hp - r)
+             & (ww >= r) & (ww < spec.wp - r))
+    return jnp.where(valid, acc, 0.0).astype(x.dtype)
+
+
+def _conv_flat_pallas(spec: FlatSpec, relu: bool, x, w_mat, scale, offset,
+                      residual):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, rows, c = x.shape
+    k2c, cout = w_mat.shape
+    k2 = k2c // c
+    k = int(round(k2 ** 0.5))
+    assert k * k == k2 and rows == spec.rows
+    offs = _tap_offsets(spec, k)
+    mb, wp, hp, r = spec.mb, spec.wp, spec.hp, spec.r
+    nb = spec.nb_pix + 2
+    has_res = residual is not None
+    # im2col pays k*k VMEM tap copies to lift the GEMM contraction to
+    # k*k*C; once C alone fills the MXU depth (>=128 lanes), accumulating
+    # k*k direct dots is the same MXU utilization without the copies.
+    im2col = k2 > 1 and c < 128
+    if _FORCE_MODE is not None and k2 > 1:
+        im2col = _FORCE_MODE == "im2col"
+
+    def kernel(*refs):
+        if im2col:
+            patch_ref = refs[-1]
+            refs = refs[:-1]
+        if has_res:
+            x_ref, w_ref, sc_ref, of_ref, res_ref, o_ref = refs
+        else:
+            x_ref, w_ref, sc_ref, of_ref, o_ref = refs
+        band = pl.program_id(1)
+        guard = (band == 0) | (band == nb - 1)
+
+        @pl.when(guard)
+        def _():
+            o_ref[0] = jnp.zeros((mb, cout), o_ref.dtype)
+
+        @pl.when(jnp.logical_not(guard))
+        def _():
+            p0 = band * mb
+            if k2 == 1:
+                acc = jnp.dot(x_ref[0, pl.ds(p0, mb), :], w_ref[:],
+                              preferred_element_type=jnp.float32)
+            elif im2col:
+                for t, off in enumerate(offs):
+                    patch_ref[:, t * c:(t + 1) * c] = \
+                        x_ref[0, pl.ds(p0 + off, mb), :]
+                acc = jnp.dot(patch_ref[:], w_ref[:],
+                              preferred_element_type=jnp.float32)
+            else:
+                acc = jnp.zeros((mb, cout), jnp.float32)
+                for t, off in enumerate(offs):
+                    acc += jnp.dot(x_ref[0, pl.ds(p0 + off, mb), :],
+                                   w_ref[t * c:(t + 1) * c, :],
+                                   preferred_element_type=jnp.float32)
+            acc = acc * sc_ref[:] + of_ref[:]
+            if has_res:
+                acc = acc + res_ref[0].astype(jnp.float32)
+            if relu:
+                acc = jnp.maximum(acc, 0.0)
+            i = jax.lax.broadcasted_iota(jnp.int32, (mb, 1), 0) + p0
+            p = i - mb
+            pc = jnp.maximum(p, 0)
+            hh, ww = pc // wp, pc % wp
+            valid = ((p >= 0) & (hh >= r) & (hh < hp - r)
+                     & (ww >= r) & (ww < wp - r))
+            o_ref[0] = jnp.where(valid, acc, 0.0).astype(o_ref.dtype)
+
+    in_specs = [
+        pl.BlockSpec((1, rows, c), lambda i, j: (i, 0, 0)),
+        pl.BlockSpec((k2c, cout), lambda i, j: (0, 0)),
+        pl.BlockSpec((1, cout), lambda i, j: (0, 0)),
+        pl.BlockSpec((1, cout), lambda i, j: (0, 0)),
+    ]
+    args = [x, w_mat.astype(x.dtype), scale.reshape(1, cout),
+            offset.reshape(1, cout)]
+    if has_res:
+        in_specs.append(pl.BlockSpec((1, mb, cout), lambda i, j: (i, j, 0)))
+        args.append(residual)
+    scratch = []
+    if im2col:
+        from jax.experimental.pallas import tpu as _pltpu
+        scratch.append(_pltpu.VMEM((mb, k2c), x.dtype))
+    flops = 2 * b * spec.nb_pix * mb * k2c * cout
+    return pl.pallas_call(
+        kernel,
+        grid=(b, nb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, mb, cout), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, rows, cout), x.dtype),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=x.size * x.dtype.itemsize * k2
+            + b * rows * cout * x.dtype.itemsize, transcendentals=0),
+        interpret=_INTERPRET,
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _conv_flat_p(spec: FlatSpec, relu: bool, x, w_mat, scale, offset,
+                 residual):
+    # Off-TPU (CPU tests, the 8-device CPU mesh dryrun) the jnp reference
+    # path runs instead of the kernel unless interpret mode is forced —
+    # same contract as ops/flash_attention.py's dispatch.
+    if not _INTERPRET and jax.default_backend() != "tpu":
+        return _conv_flat_ref(spec, relu, x, w_mat, scale, offset, residual)
+    try:
+        return _conv_flat_pallas(spec, relu, x, w_mat, scale, offset,
+                                 residual)
+    except Exception:
+        if _strict():
+            raise
+        return _conv_flat_ref(spec, relu, x, w_mat, scale, offset, residual)
+
+
+def _conv_flat_fwd(spec, relu, x, w_mat, scale, offset, residual):
+    out = _conv_flat_p(spec, relu, x, w_mat, scale, offset, residual)
+    return out, (x, w_mat, scale, offset, residual)
+
+
+def _conv_flat_bwd(spec, relu, res, g):
+    x, w_mat, scale, offset, residual = res
+    _, vjp = jax.vjp(
+        lambda *a: _conv_flat_ref(spec, relu, *a),
+        x, w_mat, scale, offset, residual)
+    return vjp(g)
+
+
+_conv_flat_p.defvjp(_conv_flat_fwd, _conv_flat_bwd)
+
+
+def conv_flat(flat: jnp.ndarray, spec: FlatSpec, weight_oihw: jnp.ndarray,
+              scale: Optional[jnp.ndarray] = None,
+              offset: Optional[jnp.ndarray] = None,
+              relu: bool = False,
+              residual: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Stride-1 'same' conv in flat space with a fused
+    (scale * conv + offset [+ residual]) [ReLU] epilogue.
+
+    weight_oihw: torch-layout (O, I, k, k), k odd, k//2 <= spec.r.
+    scale/offset: per-channel f32 (fold a frozen BatchNorm or a bias here);
+    residual: another flat (B, ROWS, O) array added before the ReLU.
+    """
+    o, i, kh, kw = weight_oihw.shape
+    assert kh == kw and kh % 2 == 1 and kh // 2 <= spec.r
+    assert flat.shape[-1] == i and flat.shape[1] == spec.rows
+    w_mat = jnp.transpose(weight_oihw, (2, 3, 1, 0)).reshape(kh * kw * i, o)
+    if scale is None:
+        scale = jnp.ones((o,), jnp.float32)
+    if offset is None:
+        offset = jnp.zeros((o,), jnp.float32)
+    return _conv_flat_p(spec, relu, flat, w_mat,
+                        scale.astype(jnp.float32),
+                        offset.astype(jnp.float32), residual)
+
+
+def conv2d_same_pallas(x: jnp.ndarray, weight_oihw: jnp.ndarray,
+                       scale=None, offset=None, relu: bool = False,
+                       layout: str = "nhwc",
+                       spec: Optional[FlatSpec] = None) -> jnp.ndarray:
+    """Single-conv convenience wrapper (used by micro benches and as the
+    one-off entry point): flat_begin -> conv_flat -> flat_end."""
+    if layout == "nchw":
+        x = x.transpose(0, 2, 3, 1)
+    b, h, w, c = x.shape
+    k = weight_oihw.shape[2]
+    if spec is None:
+        spec = make_flat_spec(h, w, k // 2,
+                              max_k2c=k * k * c, itemsize=x.dtype.itemsize)
+    out = flat_end(conv_flat(flat_begin(x, spec), spec, weight_oihw,
+                             scale, offset, relu), spec)
+    if layout == "nchw":
+        out = out.transpose(0, 3, 1, 2)
+    return out

@@ -190,6 +190,29 @@ def test_denseclip_backbone_flat_matches_default(monkeypatch):
         out_flat, out_ref)
 
 
+def test_upsampler_flat_matches_nchw():
+    """layout="flat" (replicate-pad convs via edge-pad + zero-ring flat
+    conv + interior crop, bias in the fused offset) reproduces the NCHW
+    Upsampler with an identical param tree."""
+    from tunevlseg_tpu.models.trans_segmentor.model import (
+        TransSegmentorConfig, Upsampler)
+
+    rng = np.random.RandomState(7)
+    cfg = TransSegmentorConfig.tiny(output_bias=-1.5)
+    m_ref = Upsampler(cfg, layout="nchw")
+    m_flat = Upsampler(cfg, layout="flat")
+    s = cfg.vision.image_size // cfg.vision.patch_size
+    x = jnp.asarray(rng.randn(2, cfg.effective_projection_dim, s, s),
+                    jnp.float32)
+    variables = m_ref.init(jax.random.PRNGKey(0), x)
+    out_ref = m_ref.apply(variables, x)
+    out_flat = m_flat.apply(variables, x)
+    assert jax.tree_util.tree_structure(
+        m_flat.init(jax.random.PRNGKey(0), x)) == \
+        jax.tree_util.tree_structure(variables)
+    np.testing.assert_allclose(out_flat, out_ref, atol=1e-4, rtol=1e-4)
+
+
 def test_jitted_and_bf16():
     rng = np.random.RandomState(3)
     x = jnp.asarray(rng.randn(2, 8, 8, 16), jnp.bfloat16)

@@ -194,16 +194,36 @@ class Upsampler(nn.Module):
     """`layout="nhwc"` runs the staged conv pyramid channels-last (resize
     einsums + replicate-pad convs), the same treatment that cracked the CRIS
     conv floor (scripts/micro_conv_nhwc.py). Boundary stays NCHW and every
-    param keeps its layout-independent shape."""
+    param keeps its layout-independent shape.
+
+    `layout="flat"` (TUNEVLSEG_PALLAS_CONV) additionally runs every 3x3
+    conv through the banded flat-space Pallas kernel (ops/conv_pallas.py):
+    the replicate 'same' pad is materialised once per conv (edge-pad to
+    (s+2, s+2), zero-ring flat conv, interior crop), the bias rides the
+    fused epilogue's offset; resizes and the sample/group norms stay on
+    the XLA NHWC path between convs."""
 
     config: TransSegmentorConfig
-    layout: str = "nchw"
+    layout: str = "nchw"                 # "nchw" | "nhwc" | "flat"
     dtype: Dtype = jnp.float32
+
+    def _conv3_flat(self, x: jnp.ndarray, conv: Conv2d) -> jnp.ndarray:
+        from tunevlseg_tpu.ops.conv_pallas import (conv_flat, flat_begin,
+                                                   flat_end, make_flat_spec)
+        w, b = conv.materialize_params()
+        xp = jnp.pad(x.astype(self.dtype), ((0, 0), (1, 1), (1, 1), (0, 0)),
+                     mode="edge")
+        spec = make_flat_spec(xp.shape[1], xp.shape[2], 1,
+                              max_k2c=9 * x.shape[-1],
+                              itemsize=jnp.dtype(self.dtype).itemsize)
+        y = flat_end(conv_flat(flat_begin(xp, spec), spec, w, None, b), spec)
+        return y[:, 1:-1, 1:-1]
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, C, s, s)
         c = self.config
-        nhwc = self.layout == "nhwc"
+        flat = self.layout == "flat"
+        nhwc = self.layout == "nhwc" or flat
         resize = resize_2d_nhwc if nhwc else resize_2d
         if nhwc:
             x = x.transpose(0, 2, 3, 1)
@@ -219,9 +239,12 @@ class Upsampler(nn.Module):
             out_ch = in_ch - channel_factor
             size = math.ceil(size * up_factor)
             x = resize(x, (size, size), "bilinear")
-            x = Conv2d(in_ch, out_ch, 3, padding="same", pad_mode="replicate",
-                       use_bias=c.upsampler_norm is None, layout=self.layout,
-                       dtype=self.dtype, name=f"block{i}_conv")(x)
+            conv = Conv2d(in_ch, out_ch, 3, padding="same",
+                          pad_mode="replicate",
+                          use_bias=c.upsampler_norm is None,
+                          layout="nhwc" if nhwc else "nchw",
+                          dtype=self.dtype, name=f"block{i}_conv")
+            x = self._conv3_flat(x, conv) if flat else conv(x)
             if c.upsampler_norm == "layer":
                 if nhwc:
                     x = _SampleNormNHWC((out_ch, size, size), 1e-5,
@@ -244,9 +267,11 @@ class Upsampler(nn.Module):
         # final conv; `output_bias` fixes the bias init from mask statistics
         # (configs/experiment/phrasecut.yaml: output_bias -1.748...) but the
         # param stays trainable, like the overridden torch bias
-        x = Conv2d(in_ch, c.num_output_channels, 3, padding="same",
-                   pad_mode="replicate", bias_init_value=c.output_bias,
-                   layout=self.layout, dtype=self.dtype, name="out_conv")(x)
+        out_conv = Conv2d(in_ch, c.num_output_channels, 3, padding="same",
+                          pad_mode="replicate", bias_init_value=c.output_bias,
+                          layout="nhwc" if nhwc else "nchw",
+                          dtype=self.dtype, name="out_conv")
+        x = self._conv3_flat(x, out_conv) if flat else out_conv(x)
         return x.transpose(0, 3, 1, 2) if nhwc else x
 
 
@@ -301,6 +326,11 @@ class TransformerSegmentor(nn.Module):
         up_layout = ("nhwc"
                      if os.environ.get("TUNEVLSEG_TRANSSEG_NHWC", "0") == "1"
                      else "nchw")
+        # Flat-space Pallas convs for the upsampler (TUNEVLSEG_PALLAS_CONV,
+        # trace-time read — CLAUDE.md r4 A/B gotcha) supersede the layout
+        # choice when enabled
+        if os.environ.get("TUNEVLSEG_PALLAS_CONV", "0") not in ("0", ""):
+            up_layout = "flat"
         self.upsampler = Upsampler(c, layout=up_layout, dtype=self.dtype,
                                    name="upsampler")
 

@@ -168,6 +168,11 @@ class Conv2d(nn.Module):
         assert not self.use_bias, "flat conv path is bias-free"
         return self.weight
 
+    def materialize_params(self):
+        """(weight, bias|None) for flat paths whose convs carry a bias
+        (the bias folds into the fused epilogue's offset)."""
+        return self.weight, (self.bias if self.use_bias else None)
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         weight = self.weight
         bias = self.bias if self.use_bias else None

@@ -182,6 +182,12 @@ def _conv_flat_ref(spec: FlatSpec, relu: bool, x, w_mat, scale, offset,
 
 def _conv_flat_pallas(spec: FlatSpec, relu: bool, x, w_mat, scale, offset,
                       residual):
+    """Banded-streaming kernel: VMEM residency is O(mb * C) regardless of
+    image size. Each output band j reads only x bands j-1/j/j+1 (the tap
+    window spans [p0 - lead, p0 + mb + lead) and lead <= mb by
+    construction), fetched via clamped block index maps so pallas'
+    automatic pipeline still prefetches; the window is assembled with
+    STATIC slices because every tap offset is a compile-time constant."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -200,15 +206,21 @@ def _conv_flat_pallas(spec: FlatSpec, relu: bool, x, w_mat, scale, offset,
     im2col = k2 > 1 and c < 128
     if _FORCE_MODE is not None and k2 > 1:
         im2col = _FORCE_MODE == "im2col"
+    halo = k2 > 1  # k=1 taps only read the band itself
 
     def kernel(*refs):
         if im2col:
             patch_ref = refs[-1]
             refs = refs[:-1]
         if has_res:
-            x_ref, w_ref, sc_ref, of_ref, res_ref, o_ref = refs
+            res_ref, o_ref = refs[-2:]
         else:
-            x_ref, w_ref, sc_ref, of_ref, o_ref = refs
+            o_ref = refs[-1]
+        if halo:
+            xp_ref, xc_ref, xn_ref = refs[:3]
+        else:
+            xc_ref = refs[0]
+        w_ref, sc_ref, of_ref = refs[3 if halo else 1:][:3]
         band = pl.program_id(1)
         guard = (band == 0) | (band == nb - 1)
 
@@ -220,20 +232,25 @@ def _conv_flat_pallas(spec: FlatSpec, relu: bool, x, w_mat, scale, offset,
         def _():
             p0 = band * mb
             if k2 == 1:
-                acc = jnp.dot(x_ref[0, pl.ds(p0, mb), :], w_ref[:],
-                              preferred_element_type=jnp.float32)
-            elif im2col:
-                for t, off in enumerate(offs):
-                    patch_ref[:, t * c:(t + 1) * c] = \
-                        x_ref[0, pl.ds(p0 + off, mb), :]
-                acc = jnp.dot(patch_ref[:], w_ref[:],
+                acc = jnp.dot(xc_ref[0], w_ref[:],
                               preferred_element_type=jnp.float32)
             else:
-                acc = jnp.zeros((mb, cout), jnp.float32)
-                for t, off in enumerate(offs):
-                    acc += jnp.dot(x_ref[0, pl.ds(p0 + off, mb), :],
-                                   w_ref[t * c:(t + 1) * c, :],
-                                   preferred_element_type=jnp.float32)
+                # window rows [p0 - mb, p0 + 2*mb); tap off reads window
+                # rows [mb + off, 2*mb + off) — static slices throughout
+                win = jnp.concatenate([xp_ref[0], xc_ref[0], xn_ref[0]],
+                                      axis=0)
+                if im2col:
+                    for t, off in enumerate(offs):
+                        patch_ref[:, t * c:(t + 1) * c] = \
+                            win[mb + off:2 * mb + off]
+                    acc = jnp.dot(patch_ref[:], w_ref[:],
+                                  preferred_element_type=jnp.float32)
+                else:
+                    acc = jnp.zeros((mb, cout), jnp.float32)
+                    for t, off in enumerate(offs):
+                        acc += jnp.dot(win[mb + off:2 * mb + off],
+                                       w_ref[t * c:(t + 1) * c, :],
+                                       preferred_element_type=jnp.float32)
             acc = acc * sc_ref[:] + of_ref[:]
             if has_res:
                 acc = acc + res_ref[0].astype(jnp.float32)
@@ -247,21 +264,26 @@ def _conv_flat_pallas(spec: FlatSpec, relu: bool, x, w_mat, scale, offset,
                      & (ww >= r) & (ww < wp - r))
             o_ref[0] = jnp.where(valid, acc, 0.0).astype(o_ref.dtype)
 
-    in_specs = [
-        pl.BlockSpec((1, rows, c), lambda i, j: (i, 0, 0)),
+    band_spec = lambda im: pl.BlockSpec((1, mb, c), im)  # noqa: E731
+    in_specs = [band_spec(lambda i, j: (i, j, 0))] if not halo else [
+        band_spec(lambda i, j: (i, jnp.maximum(j - 1, 0), 0)),
+        band_spec(lambda i, j: (i, j, 0)),
+        band_spec(lambda i, j: (i, jnp.minimum(j + 1, nb - 1), 0)),
+    ]
+    in_specs += [
         pl.BlockSpec((k2c, cout), lambda i, j: (0, 0)),
         pl.BlockSpec((1, cout), lambda i, j: (0, 0)),
         pl.BlockSpec((1, cout), lambda i, j: (0, 0)),
     ]
-    args = [x, w_mat.astype(x.dtype), scale.reshape(1, cout),
-            offset.reshape(1, cout)]
+    args = ([x] * (3 if halo else 1)) + [
+        w_mat.astype(x.dtype), scale.reshape(1, cout),
+        offset.reshape(1, cout)]
     if has_res:
         in_specs.append(pl.BlockSpec((1, mb, cout), lambda i, j: (i, j, 0)))
         args.append(residual)
     scratch = []
     if im2col:
-        from jax.experimental.pallas import tpu as _pltpu
-        scratch.append(_pltpu.VMEM((mb, k2c), x.dtype))
+        scratch.append(pltpu.VMEM((mb, k2c), x.dtype))
     flops = 2 * b * spec.nb_pix * mb * k2c * cout
     return pl.pallas_call(
         kernel,

@@ -93,24 +93,33 @@ def test_chained_stage_in_flat_space():
     np.testing.assert_allclose(out, r, atol=2e-5)
 
 
-def test_custom_vjp_matches_xla_grads():
+@pytest.mark.parametrize("relu,res", [(True, False), (False, True),
+                                      (True, True)])
+def test_custom_vjp_matches_xla_grads(relu, res):
+    """The analytic VJP (dx via the flipped kernel, dW via tap einsums,
+    affine grads recovered from the saved output) matches XLA's conv
+    gradients for every epilogue combination, including the residual
+    input's cotangent."""
     rng = np.random.RandomState(2)
     h, w, c = 8, 8, 8
     x = jnp.asarray(rng.randn(1, h, w, c), jnp.float32)
     wt = jnp.asarray(rng.randn(c, c, 3, 3) * 0.1, jnp.float32)
     sc = jnp.asarray(rng.rand(c) + 0.5, jnp.float32)
     of = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
+    rs = jnp.asarray(rng.randn(1, h, w, c), jnp.float32) if res else None
     spec = cp.make_flat_spec(h, w, 1, mb=64)
 
-    def loss_p(x, wt, sc, of):
-        y = cp.conv_flat(cp.flat_begin(x, spec), spec, wt, sc, of, True)
+    def loss_p(x, wt, sc, of, rs):
+        y = cp.conv_flat(cp.flat_begin(x, spec), spec, wt, sc, of, relu,
+                         cp.flat_begin(rs, spec) if res else None)
         return jnp.sum(cp.flat_end(y, spec) ** 2)
 
-    def loss_r(x, wt, sc, of):
-        return jnp.sum(xla_conv(x, wt, sc, of, True) ** 2)
+    def loss_r(x, wt, sc, of, rs):
+        return jnp.sum(xla_conv(x, wt, sc, of, relu, rs) ** 2)
 
-    gp = jax.grad(loss_p, (0, 1, 2, 3))(x, wt, sc, of)
-    gr = jax.grad(loss_r, (0, 1, 2, 3))(x, wt, sc, of)
+    argnums = (0, 1, 2, 3, 4) if res else (0, 1, 2, 3)
+    gp = jax.grad(loss_p, argnums)(x, wt, sc, of, rs)
+    gr = jax.grad(loss_r, argnums)(x, wt, sc, of, rs)
     for a, b in zip(gp, gr):
         np.testing.assert_allclose(a, b, atol=5e-5)
 

@@ -30,10 +30,11 @@ Numerics: taps accumulate in f32 on the MXU, the fused affine/residual/
 ReLU epilogue runs in f32, outputs cast back to the input dtype — the
 same contract as the XLA path (nn/conv.py).
 
-Gradients: `conv_flat` carries a custom_vjp whose backward differentiates
-the jnp reference formulation (`_conv_flat_ref`, identical tap-shift math
-on the flat layout), so e2e-trainable paths stay correct; the frozen
-prompt-tuning benchmark never takes it.
+Gradients: `conv_flat` carries an analytic custom_vjp (`_conv_flat_bwd`)
+— the transpose of a flat conv is a flat conv with the spatially-flipped
+transposed weight, so dx rides the SAME Pallas kernel and dW is k*k
+GEMMs contracting over B*ROWS; trainable paths (the trans_seg upsampler
+is full-FT) pay kernel-grade cost in both directions.
 """
 from __future__ import annotations
 
@@ -318,17 +319,75 @@ def _conv_flat_p(spec: FlatSpec, relu: bool, x, w_mat, scale, offset,
         return _conv_flat_ref(spec, relu, x, w_mat, scale, offset, residual)
 
 
+def _valid_rows(spec: FlatSpec) -> jnp.ndarray:
+    """(ROWS,) f32 mask of pixel rows (guards and the r-ring are 0)."""
+    p = jnp.arange(spec.rows) - spec.mb
+    pc = jnp.maximum(p, 0)
+    hh, ww = pc // spec.wp, pc % spec.wp
+    r = spec.r
+    return (((p >= 0) & (hh >= r) & (hh < spec.hp - r)
+             & (ww >= r) & (ww < spec.wp - r))).astype(jnp.float32)
+
+
 def _conv_flat_fwd(spec, relu, x, w_mat, scale, offset, residual):
     out = _conv_flat_p(spec, relu, x, w_mat, scale, offset, residual)
-    return out, (x, w_mat, scale, offset, residual)
+    return out, (x, w_mat, scale, offset, residual, out)
 
 
 def _conv_flat_bwd(spec, relu, res, g):
-    x, w_mat, scale, offset, residual = res
-    _, vjp = jax.vjp(
-        lambda *a: _conv_flat_ref(spec, relu, *a),
-        x, w_mat, scale, offset, residual)
-    return vjp(g)
+    """Analytic VJP — the transpose of a flat conv is a flat conv:
+
+      dx  = flat_conv(dy * scale, W')         W'[t'] = W[k2-1-t']^T, since
+                                              the tap offsets negate under
+                                              index reversal — runs through
+                                              the SAME Pallas kernel;
+      dW_t = x_shift(t)^T @ (dy * scale)      k^2 GEMMs whose contraction
+                                              is B*ROWS (MXU-deep);
+      dscale = sum dy * acc, with acc recovered from the saved output
+      (acc = (out - offset - residual)/scale wherever dy != 0 — the relu
+      clip only zeroes rows where dy is already masked); doffset/dres = dy.
+
+    dy is masked by the relu state (out > 0; exact ties at 0 take the
+    0-branch, a measure-zero deviation from jnp.maximum's tie rule) and by
+    the row-validity mask, mirroring the forward's forced-zero pads."""
+    x, w_mat, scale, offset, residual, out = res
+    c = x.shape[-1]
+    k2c, cout = w_mat.shape
+    k2 = k2c // c
+    k = int(round(k2 ** 0.5))
+    if relu:
+        dy = g.astype(jnp.float32) * (out > 0)
+    else:
+        dy = g.astype(jnp.float32) * _valid_rows(spec)[None, :, None]
+    dys = dy * scale[None, None]
+
+    # dx: flipped-transposed weight through the kernel (W' is (k2*O, C))
+    w_flip = jnp.concatenate(
+        [w_mat[(k2 - 1 - t) * c:(k2 - t) * c, :].T for t in range(k2)], 0)
+    dx = _conv_flat_p(spec, False, dys.astype(x.dtype),
+                      w_flip.astype(jnp.float32),
+                      jnp.ones((c,), jnp.float32),
+                      jnp.zeros((c,), jnp.float32), None).astype(x.dtype)
+
+    # dW: per-tap contraction over every (batch, row) pair
+    lead = spec.lead
+    xg = jnp.pad(x, ((0, 0), (lead, lead), (0, 0)))
+    dw = jnp.concatenate([
+        jnp.einsum("bmc,bmo->co",
+                   jax.lax.dynamic_slice_in_dim(xg, lead + off, spec.rows, 1),
+                   dys, preferred_element_type=jnp.float32)
+        for off in _tap_offsets(spec, k)], 0).astype(w_mat.dtype)
+
+    pre = out.astype(jnp.float32)
+    if residual is not None:
+        pre = pre - residual.astype(jnp.float32)
+    safe = jnp.where(scale == 0, 1.0, scale)
+    acc = (pre - offset[None, None]) / safe[None, None]
+    d_scale = jnp.einsum("bmo,bmo->o", dy, acc,
+                         preferred_element_type=jnp.float32)
+    d_offset = jnp.sum(dy, axis=(0, 1))
+    d_res = dy.astype(residual.dtype) if residual is not None else None
+    return dx, dw, d_scale, d_offset, d_res
 
 
 _conv_flat_p.defvjp(_conv_flat_fwd, _conv_flat_bwd)

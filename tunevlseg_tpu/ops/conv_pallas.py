@@ -76,6 +76,7 @@ class FlatSpec:
     w: int
     r: int          # max tap radius hosted by this space (k <= 2r+1)
     mb: int         # band height (rows per grid step), multiple of 8
+    qb: int = 0     # halo fetch granularity: divides mb, >= lead; 0 == mb
 
     @property
     def hp(self) -> int:
@@ -108,18 +109,24 @@ def make_flat_spec(h: int, w: int, r: int = 1, mb: Optional[int] = None,
     """Pick a band height: big enough to engage every MXU and amortize
     per-band overhead, small enough that the im2col patch scratch
     (mb x max_k2c) stays ~<=3MB of VMEM, and always >= the tap lead
-    r*Wp + r so band-1 reads stay in bounds."""
+    r*Wp + r so band-1 reads stay in bounds.
+
+    The halo granularity qb = mb/d (largest d in 8/4/2/1 with d*lead <=
+    mb) bounds the HBM read amplification of the neighbor fetches at
+    1 + 2/d — at d=8 the kernel reads x 1.25x instead of the 3x a
+    full-block halo would cost, which is what keeps the BW-bound
+    small-channel stages compute-limited."""
     wp = w + 2 * r
     lead = r * wp + r
     if mb is None:
         mb = 2048
         if max_k2c:
             mb = min(mb, (3 * 2 ** 20) // (max_k2c * itemsize))
-        mb = max(mb, lead)
-        mb = _ceil_to(max(mb, 256), 8)
-    spec = FlatSpec(h, w, r, mb)
-    if spec.mb < spec.lead:
-        raise ValueError(f"band {spec.mb} < lead {spec.lead}")
+        mb = _ceil_to(max(mb, lead, 256), 128)
+    d = next((d for d in (8, 4, 2, 1) if mb % d == 0 and mb // d >= lead), 1)
+    spec = FlatSpec(h, w, r, mb, mb // d)
+    if spec.qb < spec.lead:
+        raise ValueError(f"halo {spec.qb} < lead {spec.lead}")
     return spec
 
 
@@ -199,7 +206,11 @@ def _conv_flat_pallas(spec: FlatSpec, relu: bool, x, w_mat, scale, offset,
     assert k * k == k2 and rows == spec.rows
     offs = _tap_offsets(spec, k)
     mb, wp, hp, r = spec.mb, spec.wp, spec.hp, spec.r
+    qb = spec.qb or mb
+    assert mb % qb == 0 and qb >= spec.lead
+    d = mb // qb
     nb = spec.nb_pix + 2
+    nq = nb * d  # total qb-granularity blocks
     has_res = residual is not None
     # im2col pays k*k VMEM tap copies to lift the GEMM contraction to
     # k*k*C; once C alone fills the MXU depth (>=128 lanes), accumulating
@@ -236,20 +247,20 @@ def _conv_flat_pallas(spec: FlatSpec, relu: bool, x, w_mat, scale, offset,
                 acc = jnp.dot(xc_ref[0], w_ref[:],
                               preferred_element_type=jnp.float32)
             else:
-                # window rows [p0 - mb, p0 + 2*mb); tap off reads window
-                # rows [mb + off, 2*mb + off) — static slices throughout
+                # window rows [p0 - qb, p0 + mb + qb); tap off reads
+                # window rows [qb + off, qb + mb + off) — static slices
                 win = jnp.concatenate([xp_ref[0], xc_ref[0], xn_ref[0]],
                                       axis=0)
                 if im2col:
                     for t, off in enumerate(offs):
                         patch_ref[:, t * c:(t + 1) * c] = \
-                            win[mb + off:2 * mb + off]
+                            win[qb + off:qb + mb + off]
                     acc = jnp.dot(patch_ref[:], w_ref[:],
                                   preferred_element_type=jnp.float32)
                 else:
                     acc = jnp.zeros((mb, cout), jnp.float32)
                     for t, off in enumerate(offs):
-                        acc += jnp.dot(win[mb + off:2 * mb + off],
+                        acc += jnp.dot(win[qb + off:qb + mb + off],
                                        w_ref[t * c:(t + 1) * c, :],
                                        preferred_element_type=jnp.float32)
             acc = acc * sc_ref[:] + of_ref[:]
@@ -265,12 +276,19 @@ def _conv_flat_pallas(spec: FlatSpec, relu: bool, x, w_mat, scale, offset,
                      & (ww >= r) & (ww < wp - r))
             o_ref[0] = jnp.where(valid, acc, 0.0).astype(o_ref.dtype)
 
-    band_spec = lambda im: pl.BlockSpec((1, mb, c), im)  # noqa: E731
-    in_specs = [band_spec(lambda i, j: (i, j, 0))] if not halo else [
-        band_spec(lambda i, j: (i, jnp.maximum(j - 1, 0), 0)),
-        band_spec(lambda i, j: (i, j, 0)),
-        band_spec(lambda i, j: (i, jnp.minimum(j + 1, nb - 1), 0)),
-    ]
+    # prev halo = tail qb rows of band j-1 (qb-block d*j - 1); next halo
+    # = head qb rows of band j+1 (qb-block d*(j+1)); clamped fetches at
+    # the guard bands are unused
+    in_specs = [pl.BlockSpec((1, mb, c), lambda i, j: (i, j, 0))]
+    if halo:
+        in_specs = [
+            pl.BlockSpec((1, qb, c),
+                         lambda i, j: (i, jnp.maximum(d * j - 1, 0), 0)),
+            pl.BlockSpec((1, mb, c), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, qb, c),
+                         lambda i, j: (i, jnp.minimum(d * (j + 1),
+                                                      nq - 1), 0)),
+        ]
     in_specs += [
         pl.BlockSpec((k2c, cout), lambda i, j: (0, 0)),
         pl.BlockSpec((1, cout), lambda i, j: (0, 0)),

@@ -1,0 +1,24 @@
+#!/bin/sh
+# r4 chip runbook for the flat-space Pallas conv A/Bs. Run on an IDLE box
+# (CLAUDE.md: concurrent CPU load depresses host-orchestrated paths) via
+#   nohup sh scripts/run_pconv_ab.sh > PERF_r04/pconv_ab.log 2>&1 &
+# Sequence: micro kernel-vs-XLA grid, then interleaved e2e A/Bs on the two
+# families whose backbones/upsamplers route through the kernel. strict
+# mode makes any silent kernel->jnp fallback a loud failure instead of a
+# bogus B measurement.
+set -x
+cd /root/repo
+mkdir -p PERF_r04
+
+TUNEVLSEG_PCONV=strict python scripts/micro_conv_pallas.py \
+    2>&1 | tee PERF_r04/micro_conv_pallas.log
+
+TUNEVLSEG_PCONV=strict python scripts/ab_env.py \
+    --family coop_cris --env TUNEVLSEG_PALLAS_CONV --a 0 --b 1 \
+    2>&1 | tee PERF_r04/ab_cris_pconv.log
+
+TUNEVLSEG_PCONV=strict python scripts/ab_env.py \
+    --family trans_seg --env TUNEVLSEG_PALLAS_CONV --a 0 --b 1 \
+    2>&1 | tee PERF_r04/ab_transseg_pconv.log
+
+echo RUNBOOK_DONE

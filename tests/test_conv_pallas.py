@@ -129,6 +129,19 @@ def test_spec_rejects_band_smaller_than_lead():
         cp.make_flat_spec(64, 64, 1, mb=8)
 
 
+def test_finest_halo_granularity_d8():
+    """qb = mb/8 (the production default for big bands): halo fetches at
+    sub-band granularity still reconstruct the exact window."""
+    rng = np.random.RandomState(8)
+    h = w = 6
+    spec = cp.FlatSpec(h, w, 1, mb=128, qb=16)  # lead=9 <= qb, d=8
+    x = jnp.asarray(rng.randn(2, h, w, 8), jnp.float32)
+    wt = jnp.asarray(rng.randn(8, 8, 3, 3) * 0.2, jnp.float32)
+    out = cp.flat_end(cp.conv_flat(cp.flat_begin(x, spec), spec, wt,
+                                   relu=True), spec)
+    np.testing.assert_allclose(out, xla_conv(x, wt, relu=True), atol=2e-5)
+
+
 def test_modified_resnet_flat_matches_nchw():
     """The flat-layout backbone (layout="flat", mixed flat/NHWC stages)
     reproduces the NCHW ModifiedResNet bit-for-bit structure: identical

@@ -21,4 +21,11 @@ TUNEVLSEG_PCONV=strict python scripts/ab_env.py \
     --family trans_seg --env TUNEVLSEG_PALLAS_CONV --a 0 --b 1 \
     2>&1 | tee PERF_r04/ab_transseg_pconv.log
 
+# inference pipelines: one process per variant (weaker than interleaved,
+# but the backbone dominates both so a real effect is >> the +-15% drift)
+TUNEVLSEG_PALLAS_CONV=0 python scripts/dcbench.py \
+    2>&1 | tee PERF_r04/dcbench_pconv0.log
+TUNEVLSEG_PCONV=strict TUNEVLSEG_PALLAS_CONV=1 python scripts/dcbench.py \
+    2>&1 | tee PERF_r04/dcbench_pconv1.log
+
 echo RUNBOOK_DONE

@@ -214,6 +214,9 @@ def bench_one(model_name: str, args) -> dict:
         "mfu_pct": (round(100.0 * achieved / peak_tflops(), 2)
                     if have_flops else None),
         "samples": [round(s, 4) for s in samples],
+        # self-describing artifact: which opt-in code paths were active
+        "env_flags": {k: v for k, v in sorted(os.environ.items())
+                      if k.startswith("TUNEVLSEG_")},
     }
     return result
 

@@ -129,6 +129,30 @@ def test_spec_rejects_band_smaller_than_lead():
         cp.make_flat_spec(64, 64, 1, mb=8)
 
 
+def test_vmem_gate_estimates():
+    """The static estimate stays inside budget for every production shape
+    (CRIS@416, DenseCLIP@512, zsseg@800, upsampler@352) and trips on a
+    genuinely oversized one."""
+    cases = [  # (h, w, c, cout, k, itemsize)
+        (208, 208, 32, 32, 3, 2),     # CRIS stem conv2 (bf16)
+        (104, 104, 64, 64, 3, 2),     # CRIS layer1 3x3
+        (104, 104, 256, 64, 1, 2),    # bottleneck reduce
+        (200, 200, 64, 64, 3, 2),     # zsseg res2 conv2 @800
+        (200, 200, 256, 256, 1, 2),   # zsseg res2 1x1 (residual)
+        (354, 354, 104, 1, 3, 2),     # upsampler out_conv
+        (41, 41, 512, 410, 3, 2),     # upsampler block0
+    ]
+    for h, w, c, cout, k, it in cases:
+        spec = cp.make_flat_spec(h, w, max(k // 2, 1), max_k2c=k * k * c,
+                                 itemsize=it)
+        need = cp._kernel_vmem_bytes(spec, c, k * k * c, cout, it,
+                                     has_res=(k == 1))
+        assert need <= cp._VMEM_BUDGET, (h, w, c, cout, k, need)
+    big = cp.make_flat_spec(512, 512, 1, mb=8192, max_k2c=9 * 512)
+    assert cp._kernel_vmem_bytes(big, 512, 9 * 512, 512, 4,
+                                 False) > cp._VMEM_BUDGET
+
+
 def test_finest_halo_granularity_d8():
     """qb = mb/8 (the production default for big bands): halo fetches at
     sub-band granularity still reconstruct the exact window."""

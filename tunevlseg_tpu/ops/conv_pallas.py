@@ -188,6 +188,28 @@ def _conv_flat_ref(spec: FlatSpec, relu: bool, x, w_mat, scale, offset,
     return jnp.where(valid, acc, 0.0).astype(x.dtype)
 
 
+_VMEM_BUDGET = 12 * 2 ** 20  # conservative vs the ~16MB/core VMEM
+
+
+def _kernel_vmem_bytes(spec: FlatSpec, c: int, k2c: int, cout: int,
+                       itemsize: int, has_res: bool) -> int:
+    """Static VMEM estimate for one grid step (streamed blocks counted
+    twice for the pipeline's double buffering). Mosaic VMEM exhaustion
+    raises at XLA-compile time, where the dispatch's try/except cannot
+    reach — this check keeps oversized shapes on the jnp path instead."""
+    mb = spec.mb
+    qb = spec.qb or mb
+    halo = k2c > c
+    streamed = (mb + 2 * qb if halo else mb) * c + mb * cout
+    if has_res:
+        streamed += mb * cout
+    resident = k2c * cout + (mb + 2 * qb) * c  # weights + window copy
+    im2col = k2c > c and c < 128
+    if im2col:
+        resident += mb * k2c
+    return (2 * streamed + resident) * itemsize
+
+
 def _conv_flat_pallas(spec: FlatSpec, relu: bool, x, w_mat, scale, offset,
                       residual):
     """Banded-streaming kernel: VMEM residency is O(mb * C) regardless of
@@ -329,6 +351,13 @@ def _conv_flat_p(spec: FlatSpec, relu: bool, x, w_mat, scale, offset,
     if not _INTERPRET and jax.default_backend() != "tpu":
         return _conv_flat_ref(spec, relu, x, w_mat, scale, offset, residual)
     try:
+        need = _kernel_vmem_bytes(spec, x.shape[-1], w_mat.shape[0],
+                                  w_mat.shape[1], x.dtype.itemsize,
+                                  residual is not None)
+        if need > _VMEM_BUDGET:
+            raise ValueError(
+                f"flat conv needs ~{need >> 20}MB VMEM "
+                f"(> {_VMEM_BUDGET >> 20}MB budget) at spec={spec}")
         return _conv_flat_pallas(spec, relu, x, w_mat, scale, offset,
                                  residual)
     except Exception:

@@ -17,6 +17,12 @@ TUNEVLSEG_PCONV=strict python scripts/ab_env.py \
     --family coop_cris --env TUNEVLSEG_PALLAS_CONV --a 0 --b 1 \
     2>&1 | tee PERF_r04/ab_cris_pconv.log
 
+# early-stages-only variant: layer3/4 are large-C GEMMs the XLA emitter
+# already handles at peak (docs/ROOFLINE.md); the floor was stem/1/2
+TUNEVLSEG_PCONV=strict python scripts/ab_env.py \
+    --family coop_cris --env TUNEVLSEG_PALLAS_CONV --a 0 --b stem,1,2 \
+    2>&1 | tee PERF_r04/ab_cris_pconv_early.log
+
 TUNEVLSEG_PCONV=strict python scripts/ab_env.py \
     --family trans_seg --env TUNEVLSEG_PALLAS_CONV --a 0 --b 1 \
     2>&1 | tee PERF_r04/ab_transseg_pconv.log

@@ -336,8 +336,11 @@ def _conv_flat_pallas(spec: FlatSpec, relu: bool, x, w_mat, scale, offset,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=x.size * x.dtype.itemsize * k2
-            + b * rows * cout * x.dtype.itemsize, transcendentals=0),
+            flops=flops,
+            bytes_accessed=(x.size * (d + 2) // d if halo else x.size)
+            * x.dtype.itemsize
+            + b * rows * cout * x.dtype.itemsize * (2 if has_res else 1),
+            transcendentals=0),
         interpret=_INTERPRET,
     )(*args)
 

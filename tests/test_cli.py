@@ -148,6 +148,31 @@ def test_cris_train_cycle(synth_root, tmp_path):
     assert np.isfinite(result["test_loss"])  # NaN smoke guard (tiny-vocab bug, r3)
 
 
+def test_cris_train_cycle_flat_conv(synth_root, tmp_path, monkeypatch):
+    """TUNEVLSEG_PALLAS_CONV=1 wiring end-to-end through the trainer (on
+    CPU the dispatch takes the jnp flat formulation — the same plumbing,
+    guard bands and param routing the TPU kernel uses)."""
+    from tunevlseg_tpu import train as train_mod
+
+    monkeypatch.setenv("TUNEVLSEG_PALLAS_CONV", "1")
+    result = train_mod.main([
+        "experiment=coop/cris",
+        "ds_name=kvasir_polyp",
+        f"paths.data_root={synth_root}",
+        f"paths.log_dir={tmp_path / 'logs'}",
+        f"vocab_path={VOCAB}",
+        "img_size=64",
+        "+tiny_model=true",
+        "data.batch_size=4",
+        "data.num_workers=2",
+        "trainer=debug",
+        "trainer.n_devices=2",
+        "predict=false",
+        "exp_name=cris_flat_smoke",
+    ])
+    assert np.isfinite(result["test_loss"])
+
+
 def test_trans_segmentor_train_cycle(synth_root, tmp_path):
     from tunevlseg_tpu import train as train_mod
 

@@ -107,6 +107,10 @@ def test_custom_vjp_matches_xla_grads(relu, res):
     sc = jnp.asarray(rng.rand(c) + 0.5, jnp.float32)
     of = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
     rs = jnp.asarray(rng.randn(1, h, w, c), jnp.float32) if res else None
+    # channel 0's scale is exactly 0: d_scale must still match XLA (the
+    # first VJP cut recovered acc by dividing the output by scale, which
+    # silently returned 0 here — code-review r4 finding)
+    sc = sc.at[0].set(0.0)
     spec = cp.make_flat_spec(h, w, 1, mb=64)
 
     def loss_p(x, wt, sc, of, rs):

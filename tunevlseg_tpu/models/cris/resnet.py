@@ -212,6 +212,48 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+def run_flat_stem_tail(x: jnp.ndarray, width: int, dtype) -> jnp.ndarray:
+    """conv2/bn2 + conv3/bn3 of the CLIP ResNet stem as one flat-space
+    Pallas chain (NHWC in/out). Called inside a compact module context —
+    children attach to the CALLER's scope under the standard names, so
+    the param tree is identical to the XLA formulation. Shared by the
+    CRIS ModifiedResNet and the DenseCLIP RN backbone."""
+    spec = make_flat_spec(x.shape[1], x.shape[2], 1,
+                          max_k2c=9 * (width // 2),
+                          itemsize=jnp.dtype(dtype).itemsize)
+    f = flat_begin(x, spec)
+    for ci, co, cn, bn in ((width // 2, width // 2, "conv2", "bn2"),
+                           (width // 2, width, "conv3", "bn3")):
+        wt = Conv2d(ci, co, 3, padding=1, use_bias=False,
+                    dtype=dtype, name=cn).materialize_weight()
+        sc, of = BatchNorm2d(co, True, name=bn).folded_affine()
+        f = conv_flat(f, spec, wt, sc, of, relu=True)
+    return flat_end(f, spec)
+
+
+def run_flat_stage(x: jnp.ndarray, inplanes: int, planes: int, blocks: int,
+                   stride: int, stage: int, dtype):
+    """One ResNet stage (NHWC in/out) as a flat-space chain: flat_begin,
+    `blocks` Bottlenecks with fused epilogues (the strided block 0
+    transitions specs internally), flat_end. Returns (x, inplanes').
+    Shared by ModifiedResNet._flat_forward and the DenseCLIP backbone."""
+    itemsize = jnp.dtype(dtype).itemsize
+    spec_in = make_flat_spec(x.shape[1], x.shape[2], 1,
+                             max_k2c=9 * planes, itemsize=itemsize)
+    spec_out = spec_in if stride == 1 else make_flat_spec(
+        x.shape[1] // stride, x.shape[2] // stride, 1,
+        max_k2c=9 * planes, itemsize=itemsize)
+    f = flat_begin(x, spec_in)
+    for b in range(blocks):
+        f = Bottleneck(inplanes, planes, stride if b == 0 else 1, True,
+                       layout="flat",
+                       flat_spec_in=spec_in if b == 0 else spec_out,
+                       flat_spec_out=spec_out, dtype=dtype,
+                       name=f"layer{stage}_{b}")(f)
+        inplanes = planes * Bottleneck.EXPANSION
+    return flat_end(f, spec_out), inplanes
+
+
 class AttentionPool2d(nn.Module):
     """CRIS variant (clip.py:78-182): spatial self-attention over the C5 map
     with bicubic-resized positional embedding and a conv+BN residual; returns
@@ -296,26 +338,16 @@ class ModifiedResNet(nn.Module):
         stays on the XLA NHWC path. Requires frozen BN (always true for
         the CRIS/CLIP backbone, which the reference freezes outright)."""
         assert self.use_running_average, "flat layout requires frozen BN"
-        itemsize = jnp.dtype(self.dtype).itemsize
         x = x.transpose(0, 2, 3, 1)
         w = self.width
         x = Conv2d(3, w // 2, 3, stride=2, padding=1, use_bias=False,
                    layout="nhwc", dtype=self.dtype, name="conv1")(x)
         x = nn.relu(BatchNorm2d(w // 2, True, layout="nhwc", name="bn1")(x))
-        stem_tail = ((w // 2, w // 2, "conv2", "bn2"),
-                     (w // 2, w, "conv3", "bn3"))
         if "stem" in self.flat_stages:
-            spec = make_flat_spec(x.shape[1], x.shape[2], 1,
-                                  max_k2c=9 * (w // 2), itemsize=itemsize)
-            f = flat_begin(x, spec)
-            for ci, co, cn, bn in stem_tail:
-                wt = Conv2d(ci, co, 3, padding=1, use_bias=False,
-                            dtype=self.dtype, name=cn).materialize_weight()
-                sc, of = BatchNorm2d(co, True, name=bn).folded_affine()
-                f = conv_flat(f, spec, wt, sc, of, relu=True)
-            x = flat_end(f, spec)
+            x = run_flat_stem_tail(x, w, self.dtype)
         else:
-            for ci, co, cn, bn in stem_tail:
+            for ci, co, cn, bn in ((w // 2, w // 2, "conv2", "bn2"),
+                                   (w // 2, w, "conv3", "bn3")):
                 x = Conv2d(ci, co, 3, padding=1, use_bias=False,
                            layout="nhwc", dtype=self.dtype, name=cn)(x)
                 x = nn.relu(BatchNorm2d(co, True, layout="nhwc",
@@ -328,24 +360,8 @@ class ModifiedResNet(nn.Module):
                 zip((w, w * 2, w * 4, w * 8), self.layers), start=1):
             stride = 1 if stage == 1 else 2
             if str(stage) in self.flat_stages:
-                spec_in = make_flat_spec(x.shape[1], x.shape[2], 1,
-                                         max_k2c=9 * planes,
-                                         itemsize=itemsize)
-                spec_out = spec_in if stride == 1 else make_flat_spec(
-                    x.shape[1] // stride, x.shape[2] // stride, 1,
-                    max_k2c=9 * planes, itemsize=itemsize)
-                f = flat_begin(x, spec_in)
-                for b in range(blocks):
-                    f = Bottleneck(inplanes, planes,
-                                   stride if b == 0 else 1, True,
-                                   layout="flat",
-                                   flat_spec_in=spec_in if b == 0
-                                   else spec_out,
-                                   flat_spec_out=spec_out,
-                                   dtype=self.dtype,
-                                   name=f"layer{stage}_{b}")(f)
-                    inplanes = planes * Bottleneck.EXPANSION
-                x = flat_end(f, spec_out)
+                x, inplanes = run_flat_stage(x, inplanes, planes, blocks,
+                                             stride, stage, self.dtype)
             else:
                 for b in range(blocks):
                     x = Bottleneck(inplanes, planes,

@@ -200,49 +200,27 @@ class CLIPResNetWithAttention(nn.Module):
         """Frozen-BN inference path through the flat-space Pallas convs
         (ops/conv_pallas.py): channels-last end to end, one flat boundary
         per stage, fused conv+BN+ReLU(+residual) bands inside. Identical
-        param tree to the XLA path."""
-        from tunevlseg_tpu.models.cris.resnet import avg_pool_nhwc
-        from tunevlseg_tpu.ops.conv_pallas import (conv_flat, flat_begin,
-                                                   flat_end, make_flat_spec)
+        param tree to the XLA path. Stage machinery shared with the CRIS
+        ModifiedResNet (cris/resnet.py:run_flat_*)."""
+        from tunevlseg_tpu.models.cris.resnet import (avg_pool_nhwc,
+                                                      run_flat_stage,
+                                                      run_flat_stem_tail)
         c = self.config
         w = c.vision_width
-        itemsize = jnp.dtype(self.dtype).itemsize
         x = x.transpose(0, 2, 3, 1)
         x = Conv2d(3, w // 2, 3, stride=2, padding=1, use_bias=False,
                    layout="nhwc", dtype=self.dtype, name="conv1")(x)
         x = nn.relu(BatchNorm2d(w // 2, True, layout="nhwc", name="bn1")(x))
-        spec = make_flat_spec(x.shape[1], x.shape[2], 1,
-                              max_k2c=9 * (w // 2), itemsize=itemsize)
-        f = flat_begin(x, spec)
-        for i, (ci, co) in enumerate(((w // 2, w // 2), (w // 2, w)),
-                                     start=2):
-            wt = Conv2d(ci, co, 3, padding=1, use_bias=False,
-                        dtype=self.dtype, name=f"conv{i}").materialize_weight()
-            sc, of = BatchNorm2d(co, True, name=f"bn{i}").folded_affine()
-            f = conv_flat(f, spec, wt, sc, of, relu=True)
-        x = avg_pool_nhwc(flat_end(f, spec), 2)
+        x = avg_pool_nhwc(run_flat_stem_tail(x, w, self.dtype), 2)
 
         outs = []
         inplanes = w
         for stage, (planes, blocks) in enumerate(
                 zip((w, w * 2, w * 4, w * 8), c.vision_layers), start=1):
-            stride = 1 if stage == 1 else 2
-            spec_in = make_flat_spec(x.shape[1], x.shape[2], 1,
-                                     max_k2c=9 * planes, itemsize=itemsize)
-            spec_out = spec_in if stride == 1 else make_flat_spec(
-                x.shape[1] // stride, x.shape[2] // stride, 1,
-                max_k2c=9 * planes, itemsize=itemsize)
-            f = flat_begin(x, spec_in)
-            for b in range(blocks):
-                f = Bottleneck(inplanes, planes, stride if b == 0 else 1,
-                               True, layout="flat",
-                               flat_spec_in=spec_in if b == 0 else spec_out,
-                               flat_spec_out=spec_out, dtype=self.dtype,
-                               name=f"layer{stage}_{b}")(f)
-                inplanes = planes * Bottleneck.EXPANSION
-            x = flat_end(f, spec_out)
+            x, inplanes = run_flat_stage(x, inplanes, planes, blocks,
+                                         1 if stage == 1 else 2, stage,
+                                         self.dtype)
             outs.append(x.transpose(0, 3, 1, 2))
-        x = outs[-1]
 
         if not self.with_attnpool:
             return tuple(outs)

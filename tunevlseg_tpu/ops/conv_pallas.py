@@ -49,6 +49,7 @@ import numpy as np
 
 _INTERPRET = False  # flipped by tests on CPU
 _FORCE_MODE: Optional[str] = None  # "im2col" | "taps" — micro-bench override
+_WARNED_FALLBACK = False
 
 
 def _strict() -> bool:
@@ -60,6 +61,18 @@ def _strict() -> bool:
 
 def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+def _use_im2col(k2: int, c: int) -> bool:
+    """im2col pays k*k VMEM tap copies to lift the GEMM contraction to
+    k*k*C; once C alone fills the MXU depth (>=128 lanes), accumulating
+    k*k direct dots is the same MXU utilization without the copies.
+    Single decision point shared by the kernel and the VMEM gate (a
+    forced-mode mismatch would let the gate pass a shape whose scratch
+    Mosaic then rejects at XLA-compile time)."""
+    if _FORCE_MODE is not None and k2 > 1:
+        return _FORCE_MODE == "im2col"
+    return k2 > 1 and c < 128
 
 
 @dataclasses.dataclass(frozen=True)
@@ -115,14 +128,22 @@ def make_flat_spec(h: int, w: int, r: int = 1, mb: Optional[int] = None,
     mb) bounds the HBM read amplification of the neighbor fetches at
     1 + 2/d — at d=8 the kernel reads x 1.25x instead of the 3x a
     full-block halo would cost, which is what keeps the BW-bound
-    small-channel stages compute-limited."""
+    small-channel stages compute-limited.
+
+    Bands are sized to the image: pick the band COUNT under the VMEM cap
+    first, then split the padded pixel rows evenly — a fixed mb would
+    compute up to ~2x excess guard rows at the small-spatial stages
+    (26x26 stage3: 1536 rows banded naively vs 784 pixels)."""
     wp = w + 2 * r
     lead = r * wp + r
+    mp = (h + 2 * r) * wp
     if mb is None:
-        mb = 2048
+        cap = 2048
         if max_k2c:
-            mb = min(mb, (3 * 2 ** 20) // (max_k2c * itemsize))
-        mb = _ceil_to(max(mb, lead, 256), 128)
+            cap = min(cap, (4 * 2 ** 20) // (max_k2c * itemsize))
+        cap = _ceil_to(max(cap, lead, 128), 128)
+        nbp = -(-mp // cap)
+        mb = _ceil_to(max(-(-mp // nbp), lead, 128), 128)
     d = next((d for d in (8, 4, 2, 1) if mb % d == 0 and mb // d >= lead), 1)
     spec = FlatSpec(h, w, r, mb, mb // d)
     if spec.qb < spec.lead:
@@ -204,8 +225,7 @@ def _kernel_vmem_bytes(spec: FlatSpec, c: int, k2c: int, cout: int,
     if has_res:
         streamed += mb * cout
     resident = k2c * cout + (mb + 2 * qb) * c  # weights + window copy
-    im2col = k2c > c and c < 128
-    if im2col:
+    if _use_im2col(k2c // c, c):
         resident += mb * k2c
     return (2 * streamed + resident) * itemsize
 
@@ -234,12 +254,7 @@ def _conv_flat_pallas(spec: FlatSpec, relu: bool, x, w_mat, scale, offset,
     nb = spec.nb_pix + 2
     nq = nb * d  # total qb-granularity blocks
     has_res = residual is not None
-    # im2col pays k*k VMEM tap copies to lift the GEMM contraction to
-    # k*k*C; once C alone fills the MXU depth (>=128 lanes), accumulating
-    # k*k direct dots is the same MXU utilization without the copies.
-    im2col = k2 > 1 and c < 128
-    if _FORCE_MODE is not None and k2 > 1:
-        im2col = _FORCE_MODE == "im2col"
+    im2col = _use_im2col(k2, c)
     halo = k2 > 1  # k=1 taps only read the band itself
 
     def kernel(*refs):
@@ -363,9 +378,21 @@ def _conv_flat_p(spec: FlatSpec, relu: bool, x, w_mat, scale, offset,
                 f"(> {_VMEM_BUDGET >> 20}MB budget) at spec={spec}")
         return _conv_flat_pallas(spec, relu, x, w_mat, scale, offset,
                                  residual)
-    except Exception:
+    except Exception as e:
         if _strict():
             raise
+        # loud, once per process: the jnp fallback is SLOWER than leaving
+        # TUNEVLSEG_PALLAS_CONV unset, so a silent swap poisons A/Bs
+        # (CLAUDE.md r4: the silent-variant-flip failure mode)
+        global _WARNED_FALLBACK
+        if not _WARNED_FALLBACK:
+            _WARNED_FALLBACK = True
+            import logging
+            logging.getLogger(__name__).warning(
+                "flat conv kernel unavailable (%s: %s) — falling back to "
+                "the slow jnp formulation; unset TUNEVLSEG_PALLAS_CONV or "
+                "set TUNEVLSEG_PCONV=strict to make this an error",
+                type(e).__name__, e)
         return _conv_flat_ref(spec, relu, x, w_mat, scale, offset, residual)
 
 
@@ -391,11 +418,10 @@ def _conv_flat_bwd(spec, relu, res, g):
                                               the tap offsets negate under
                                               index reversal — runs through
                                               the SAME Pallas kernel;
-      dW_t = x_shift(t)^T @ (dy * scale)      k^2 GEMMs whose contraction
+      dWt_t = x_shift(t)^T @ dy               k^2 GEMMs whose contraction
                                               is B*ROWS (MXU-deep);
-      dscale = sum dy * acc, with acc recovered from the saved output
-      (acc = (out - offset - residual)/scale wherever dy != 0 — the relu
-      clip only zeroes rows where dy is already masked); doffset/dres = dy.
+      dW = dWt * scale;  dscale = sum_{t,c} W * dWt  (exact for scale==0,
+      no division, no forward recompute);  doffset/dres = dy.
 
     dy is masked by the relu state (out > 0; exact ties at 0 take the
     0-branch, a measure-zero deviation from jnp.maximum's tie rule) and by
@@ -419,21 +445,20 @@ def _conv_flat_bwd(spec, relu, res, g):
                       jnp.ones((c,), jnp.float32),
                       jnp.zeros((c,), jnp.float32), None).astype(x.dtype)
 
-    # dW: per-tap contraction over every (batch, row) pair
+    # dW: per-tap contraction over every (batch, row) pair, against the
+    # UNSCALED dy (dwt) — then dw = dwt * scale, and d_scale contracts
+    # dwt with the weight itself: d_scale_o = sum dy*acc
+    # = sum_{t,c} w[tc,o] * dwt[tc,o]. Exact for any scale (incl. 0),
+    # no division by scale, no forward recompute.
     lead = spec.lead
     xg = jnp.pad(x, ((0, 0), (lead, lead), (0, 0)))
-    dw = jnp.concatenate([
+    dwt = jnp.concatenate([
         jnp.einsum("bmc,bmo->co",
                    jax.lax.dynamic_slice_in_dim(xg, lead + off, spec.rows, 1),
-                   dys, preferred_element_type=jnp.float32)
-        for off in _tap_offsets(spec, k)], 0).astype(w_mat.dtype)
-
-    pre = out.astype(jnp.float32)
-    if residual is not None:
-        pre = pre - residual.astype(jnp.float32)
-    safe = jnp.where(scale == 0, 1.0, scale)
-    acc = (pre - offset[None, None]) / safe[None, None]
-    d_scale = jnp.einsum("bmo,bmo->o", dy, acc,
+                   dy, preferred_element_type=jnp.float32)
+        for off in _tap_offsets(spec, k)], 0)
+    dw = (dwt * scale[None, :]).astype(w_mat.dtype)
+    d_scale = jnp.einsum("ko,ko->o", w_mat.astype(jnp.float32), dwt,
                          preferred_element_type=jnp.float32)
     d_offset = jnp.sum(dy, axis=(0, 1))
     d_res = dy.astype(residual.dtype) if residual is not None else None

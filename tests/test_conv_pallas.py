@@ -133,6 +133,23 @@ def test_spec_rejects_band_smaller_than_lead():
         cp.make_flat_spec(64, 64, 1, mb=8)
 
 
+def test_spec_geometry_invariants():
+    """make_flat_spec across a realistic shape sweep: halo >= lead and
+    divides the band, bands cover the pixel block, and the band padding
+    overhead (computed rows / pixel rows) stays bounded — the r4 review
+    found fixed-size bands burning ~2x FLOPs at 26x26."""
+    for h, w in [(13, 13), (26, 26), (52, 52), (104, 104), (208, 208),
+                 (41, 41), (118, 118), (206, 206), (354, 354), (256, 256)]:
+        for c, it in [(32, 2), (64, 2), (128, 2), (256, 2), (512, 2),
+                      (64, 4)]:
+            spec = cp.make_flat_spec(h, w, 1, max_k2c=9 * c, itemsize=it)
+            assert spec.qb >= spec.lead
+            assert spec.mb % spec.qb == 0
+            assert spec.mb * spec.nb_pix >= spec.mp
+            overhead = spec.mb * spec.nb_pix / spec.mp
+            assert overhead <= 1.35, (h, w, c, it, spec, overhead)
+
+
 def test_vmem_gate_estimates():
     """The static estimate stays inside budget for every production shape
     (CRIS@416, DenseCLIP@512, zsseg@800, upsampler@352) and trips on a

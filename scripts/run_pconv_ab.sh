@@ -34,4 +34,9 @@ TUNEVLSEG_PALLAS_CONV=0 python scripts/dcbench.py \
 TUNEVLSEG_PCONV=strict TUNEVLSEG_PALLAS_CONV=1 python scripts/dcbench.py \
     2>&1 | tee PERF_r04/dcbench_pconv1.log
 
+# zsseg (FreeSOLO R101 @800 fused single-launch): the stride-1 D2ResNet
+# blocks route through the kernel; compare vs PERF_r04/zsbench_alpha1.json
+TUNEVLSEG_PCONV=strict TUNEVLSEG_PALLAS_CONV=1 python scripts/zsbench.py \
+    --fused --alpha 1.0 2>&1 | tee PERF_r04/zsbench_pconv1.log
+
 echo RUNBOOK_DONE

@@ -255,8 +255,33 @@ def main() -> None:
         families = ("coop_cris", "trans_seg", "coop_clipseg")
     else:
         families = (args.model,)
+
+    # Watchdog: when the axon tunnel is down, backend init hangs ~25 min
+    # before raising UNAVAILABLE (observed 2026-08-18 outage) — the driver
+    # would record rc=124/parsed=null, indistinguishable from r3's scoping
+    # bug. Emit a parseable JSON error line instead and exit 0. The limit
+    # is per-family and generous (happy-path default run: 5m28s total,
+    # PERF_r04/bench_default.time); a mid-run transport stall trips it too.
+    import threading
+    limit = float(os.environ.get("TUNEVLSEG_BENCH_WATCHDOG_S", "1200"))
+
+    def _fire():
+        print(json.dumps({
+            "metric": "coop_clipseg_train_steps_per_sec_per_chip",
+            "value": None, "unit": "steps/s/chip", "vs_baseline": None,
+            "error": f"watchdog: no progress within {limit:.0f}s — TPU "
+                     "backend unreachable (axon tunnel down?) or transport "
+                     "stalled; see PERF_r04/bench_default.json for the "
+                     "last captured run",
+        }), flush=True)
+        os._exit(0)
+
     for name in families:
+        timer = threading.Timer(limit, _fire)
+        timer.daemon = True
+        timer.start()
         print(json.dumps(bench_one(name, args)), flush=True)
+        timer.cancel()
 
 
 if __name__ == "__main__":

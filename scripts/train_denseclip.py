@@ -181,17 +181,22 @@ def main(argv=None):
     args.out.mkdir(parents=True, exist_ok=True)
     ckpt = CheckpointManager(args.out / "checkpoints", monitor="val_acc")
     metrics_path = args.out / "metrics.jsonl"
-    t0, last = time.perf_counter(), None
+    last_t, last_it = time.perf_counter(), 0
     for it in range(1, args.iters + 1):
         sharded = mesh_lib.shard_batch(mesh, next_batch())
         state, m = train_step(state, frozen, sharded)
+        if it == 1:
+            # drop the compile from the first throughput window
+            float(m["loss"])
+            last_t, last_it = time.perf_counter(), 1
         if it % args.log_every == 0 or it == args.iters:
             m = {k: float(v) for k, v in m.items()}
             m["iter"] = it
-            m["imgs_per_sec"] = round(
-                args.log_every * args.batch / (time.perf_counter()
-                                               - (last or t0)), 2)
-            last = time.perf_counter()
+            window = it - last_it
+            m["imgs_per_sec"] = (round(
+                window * args.batch / (time.perf_counter() - last_t), 2)
+                if window else None)
+            last_t, last_it = time.perf_counter(), it
             log.info("iter %d: %s", it, json.dumps(m))
             with metrics_path.open("a") as f:
                 f.write(json.dumps(m) + "\n")

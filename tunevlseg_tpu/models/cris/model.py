@@ -170,8 +170,10 @@ class CRISForSegmentation(nn.Module):
         # Flat-space Pallas conv backbone (TUNEVLSEG_PALLAS_CONV): "1" runs
         # every stage through ops/conv_pallas.py; a comma list like
         # "stem,1,2" restricts it to those stages. Read here (setup == trace
-        # time) so ab_env.py A/Bs are valid (CLAUDE.md r4 gotcha).
-        pconv = os.environ.get("TUNEVLSEG_PALLAS_CONV", "0")
+        # time) so ab_env.py A/Bs are valid (CLAUDE.md r4 gotcha);
+        # flat_conv_mode downgrades to "0" on multi-device TPU meshes.
+        from tunevlseg_tpu.ops.conv_pallas import flat_conv_mode
+        pconv = flat_conv_mode()
         flat_stages: tuple = ("stem", "1", "2", "3", "4")
         if pconv not in ("0", ""):
             layout = "flat"

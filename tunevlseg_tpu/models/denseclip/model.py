@@ -165,9 +165,8 @@ class CLIPResNetWithAttention(nn.Module):
                else use_running_average)
         # Flat-space Pallas convs (TUNEVLSEG_PALLAS_CONV, trace-time read)
         # need frozen BN to fold; train-mode steps keep the XLA path.
-        import os
-        use_flat = ura and os.environ.get(
-            "TUNEVLSEG_PALLAS_CONV", "0") not in ("0", "")
+        from tunevlseg_tpu.ops.conv_pallas import flat_conv_mode
+        use_flat = ura and flat_conv_mode() != "0"
         if use_flat:
             return self._flat_forward(x)
         for i, (cin, cout) in enumerate(((3, w // 2), (w // 2, w // 2),

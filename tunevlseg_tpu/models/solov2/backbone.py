@@ -139,8 +139,8 @@ class D2ResNet(nn.Module):
         # block 0, and blocks 1+ of res3/4/5 — chain through
         # ops/conv_pallas.py with one NCHW<->flat boundary per stage. The
         # strided block 0 stays on the XLA path.
-        import os
-        use_flat = os.environ.get("TUNEVLSEG_PALLAS_CONV", "0") not in ("0", "")
+        from tunevlseg_tpu.ops.conv_pallas import flat_conv_mode
+        use_flat = flat_conv_mode() != "0"
         itemsize = jnp.dtype(self.dtype).itemsize
 
         feats = {}
@@ -165,9 +165,9 @@ class D2ResNet(nn.Module):
                                       itemsize=itemsize)
                 f = flat_begin(x.transpose(0, 2, 3, 1), spec)
                 for b in range(start, n_blocks):
-                    stride = 2 if (b == 0 and stage_idx > 2) else 1
+                    # only stride-1 blocks enter the flat chain (b >= 1)
                     f = BottleneckBlock(
-                        in_ch, bottleneck, out_ch, stride,
+                        in_ch, bottleneck, out_ch, 1,
                         flat_spec=spec, dtype=self.dtype,
                         name=f"res{stage_idx}_{b}")(f)
                     in_ch = out_ch

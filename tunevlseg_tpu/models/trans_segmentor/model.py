@@ -329,7 +329,8 @@ class TransformerSegmentor(nn.Module):
         # Flat-space Pallas convs for the upsampler (TUNEVLSEG_PALLAS_CONV,
         # trace-time read — CLAUDE.md r4 A/B gotcha) supersede the layout
         # choice when enabled
-        if os.environ.get("TUNEVLSEG_PALLAS_CONV", "0") not in ("0", ""):
+        from tunevlseg_tpu.ops.conv_pallas import flat_conv_mode
+        if flat_conv_mode() != "0":
             up_layout = "flat"
         self.upsampler = Upsampler(c, layout=up_layout, dtype=self.dtype,
                                    name="upsampler")

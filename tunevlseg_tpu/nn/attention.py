@@ -86,6 +86,12 @@ def dot_product_attention(
         and q.shape[1] >= _FLASH_MIN_SEQ
         and q.shape[1] == k.shape[1]
         and jax.default_backend() == "tpu"
+        # pallas_call has no GSPMD partitioning rule: multi-device TPU
+        # programs keep the (shardable) XLA path until a shard_map
+        # integration is proven on real multi-chip hardware; "1" or
+        # TUNEVLSEG_KERNELS_SPMD=1 override
+        and (jax.device_count() == 1
+             or os.environ.get("TUNEVLSEG_KERNELS_SPMD", "0") == "1")
     )
     if use_flash:
         from tunevlseg_tpu.ops import flash_attention as fa

@@ -113,7 +113,7 @@ def conv2d_nhwc(x: jnp.ndarray, weight: jnp.ndarray, bias=None,
         mode = {"replicate": "edge", "reflect": "reflect"}[pad_mode]
         x = jnp.pad(x, ((0, 0), pads[0], pads[1], (0, 0)), mode=mode)
         pads = ((0, 0), (0, 0))
-    if kh == kw == 1 and sh == sw == 1:
+    if kh == kw == 1 and sh == sw == 1 and pads == ((0, 0), (0, 0)):
         out = jnp.einsum("bhwc,co->bhwo", x, weight[:, :, 0, 0].T.astype(x.dtype),
                          preferred_element_type=jnp.float32).astype(x.dtype)
     else:

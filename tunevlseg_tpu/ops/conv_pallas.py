@@ -59,6 +59,26 @@ def _strict() -> bool:
     return os.environ.get("TUNEVLSEG_PCONV", "") == "strict"
 
 
+def flat_conv_mode() -> str:
+    """The TUNEVLSEG_PALLAS_CONV value ("0" = disabled), read at model
+    build/trace time by every wired backbone — downgraded to "0" for
+    multi-device TPU programs: pallas_call carries no GSPMD partitioning
+    rule, so under a sharded mesh the custom call would force operand
+    replication (per-conv all-gathers) or fail to lower. Until a
+    shard_map integration is validated on real multi-chip hardware,
+    multi-device runs keep the plain XLA conv path
+    (TUNEVLSEG_KERNELS_SPMD=1 overrides). CPU programs keep the flat
+    layout regardless of device count — they dispatch to the jnp
+    reference formulation, which shards fine (tests, mesh dryruns)."""
+    v = os.environ.get("TUNEVLSEG_PALLAS_CONV", "0")
+    if v in ("0", ""):
+        return "0"
+    if (jax.default_backend() == "tpu" and jax.device_count() > 1
+            and os.environ.get("TUNEVLSEG_KERNELS_SPMD", "0") != "1"):
+        return "0"
+    return v
+
+
 def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
@@ -479,6 +499,15 @@ def conv_flat(flat: jnp.ndarray, spec: FlatSpec, weight_oihw: jnp.ndarray,
     weight_oihw: torch-layout (O, I, k, k), k odd, k//2 <= spec.r.
     scale/offset: per-channel f32 (fold a frozen BatchNorm or a bias here);
     residual: another flat (B, ROWS, O) array added before the ReLU.
+
+    Gradient contract: the VJP zeroes dL/dx at the guard/ring rows (the
+    forward forces those OUTPUT rows to zero, and its boundary-row taps
+    genuinely read the ring, so the true ring cotangent is non-zero).
+    This is exact for inputs produced by flat_begin or a previous
+    conv_flat — their ring rows are forced constants whose cotangents
+    are discarded anyway — which is every supported chaining; do not
+    differentiate w.r.t. a hand-built flat tensor whose ring rows carry
+    trainable-dependent values.
     """
     o, i, kh, kw = weight_oihw.shape
     assert kh == kw and kh % 2 == 1 and kh // 2 <= spec.r

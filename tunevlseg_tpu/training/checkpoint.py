@@ -63,8 +63,11 @@ class CheckpointManager:
                 if final.exists():
                     final.rename(old)
                 staging.rename(final)
-                (self.dir / f"{tag}.json").write_text(
-                    json.dumps(meta, default=float))
+                # atomic meta write: a crash mid-write must not leave a
+                # truncated JSON that breaks resume (load_meta would raise)
+                meta_tmp = self.dir / f".{tag}.json.tmp"
+                meta_tmp.write_text(json.dumps(meta, default=float))
+                meta_tmp.rename(self.dir / f"{tag}.json")
                 if old.exists():
                     shutil.rmtree(old)
             # heal the crash gap: tag missing but .old- preserved

@@ -299,23 +299,27 @@ def test_jitted_and_bf16():
                                atol=0.15, rtol=0.05)
 
 
-def test_flat_conv_mode_multidevice_downgrade(monkeypatch):
-    """pallas_call has no GSPMD rule: the env gate must read "0" on a
-    multi-device TPU program unless TUNEVLSEG_KERNELS_SPMD=1."""
+def test_flat_conv_mode_multidevice_gate(monkeypatch):
+    """Multi-device TPU programs keep the kernel (it carries a
+    custom_partitioning rule, ops/spmd.py) unless the
+    TUNEVLSEG_KERNELS_SPMD=0 kill switch opts back to XLA."""
     monkeypatch.setenv("TUNEVLSEG_PALLAS_CONV", "stem,1,2")
     monkeypatch.delenv("TUNEVLSEG_KERNELS_SPMD", raising=False)
     # single-device TPU: engaged
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(jax, "device_count", lambda: 1)
     assert cp.flat_conv_mode() == "stem,1,2"
-    # multi-device TPU: downgraded
+    # multi-device TPU: stays engaged via the SPMD rule
     monkeypatch.setattr(jax, "device_count", lambda: 8)
+    assert cp.flat_conv_mode() == "stem,1,2"
+    # kill switch downgrades multi-device runs to the XLA conv path
+    monkeypatch.setenv("TUNEVLSEG_KERNELS_SPMD", "0")
     assert cp.flat_conv_mode() == "0"
-    # explicit override keeps it on
-    monkeypatch.setenv("TUNEVLSEG_KERNELS_SPMD", "1")
+    # ... but not single-device ones
+    monkeypatch.setattr(jax, "device_count", lambda: 1)
     assert cp.flat_conv_mode() == "stem,1,2"
     # CPU meshes (tests, dryrun) keep the flat layout at any device count
-    monkeypatch.delenv("TUNEVLSEG_KERNELS_SPMD", raising=False)
+    monkeypatch.setattr(jax, "device_count", lambda: 8)
     monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
     assert cp.flat_conv_mode() == "stem,1,2"
     # disabled stays disabled everywhere

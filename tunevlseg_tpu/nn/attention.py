@@ -39,6 +39,11 @@ def _flash_mode() -> str:
     return os.environ.get("TUNEVLSEG_FLASH", "auto")
 
 
+def _spmd_kernels() -> bool:
+    from tunevlseg_tpu.ops.spmd import spmd_kernels_enabled
+    return spmd_kernels_enabled()
+
+
 def xla_attention(
     q: jnp.ndarray,  # (B, S, H, Dh)
     k: jnp.ndarray,  # (B, T, H, Dh)
@@ -86,12 +91,11 @@ def dot_product_attention(
         and q.shape[1] >= _FLASH_MIN_SEQ
         and q.shape[1] == k.shape[1]
         and jax.default_backend() == "tpu"
-        # pallas_call has no GSPMD partitioning rule: multi-device TPU
-        # programs keep the (shardable) XLA path until a shard_map
-        # integration is proven on real multi-chip hardware; "1" or
-        # TUNEVLSEG_KERNELS_SPMD=1 override
-        and (jax.device_count() == 1
-             or os.environ.get("TUNEVLSEG_KERNELS_SPMD", "0") == "1")
+        # multi-device programs run the kernel through its
+        # custom_partitioning rule (ops/spmd.py: batch/head shardable,
+        # seq/head_dim replicated — matches the dp/tp/fsdp shardings);
+        # TUNEVLSEG_KERNELS_SPMD=0 is the kill switch back to XLA
+        and (jax.device_count() == 1 or _spmd_kernels())
     )
     if use_flash:
         from tunevlseg_tpu.ops import flash_attention as fa

@@ -61,20 +61,19 @@ def _strict() -> bool:
 
 def flat_conv_mode() -> str:
     """The TUNEVLSEG_PALLAS_CONV value ("0" = disabled), read at model
-    build/trace time by every wired backbone — downgraded to "0" for
-    multi-device TPU programs: pallas_call carries no GSPMD partitioning
-    rule, so under a sharded mesh the custom call would force operand
-    replication (per-conv all-gathers) or fail to lower. Until a
-    shard_map integration is validated on real multi-chip hardware,
-    multi-device runs keep the plain XLA conv path
-    (TUNEVLSEG_KERNELS_SPMD=1 overrides). CPU programs keep the flat
-    layout regardless of device count — they dispatch to the jnp
-    reference formulation, which shards fine (tests, mesh dryruns)."""
+    build/trace time by every wired backbone. Multi-device TPU programs
+    run the kernel through its custom_partitioning rule (ops/spmd.py:
+    batch shardable, rows/channels replicated — matching dp/fsdp batch
+    sharding; tp replicates convs per parallel/sharding_rules.py), unless
+    TUNEVLSEG_KERNELS_SPMD=0 opts multi-device runs back to the plain XLA
+    conv path. CPU programs keep the flat layout regardless of device
+    count — they dispatch to the jnp reference formulation, which shards
+    natively (tests, mesh dryruns)."""
     v = os.environ.get("TUNEVLSEG_PALLAS_CONV", "0")
     if v in ("0", ""):
         return "0"
     if (jax.default_backend() == "tpu" and jax.device_count() > 1
-            and os.environ.get("TUNEVLSEG_KERNELS_SPMD", "0") != "1"):
+            and os.environ.get("TUNEVLSEG_KERNELS_SPMD", "1") == "0"):
         return "0"
     return v
 
@@ -380,6 +379,33 @@ def _conv_flat_pallas(spec: FlatSpec, relu: bool, x, w_mat, scale, offset,
     )(*args)
 
 
+# SPMD variants (one per arity — custom_partitioning needs a fixed operand
+# list, and `residual` is optional): identical kernel, partitionable along
+# batch; rows/channels are need-replication factors (ops/spmd.py).
+def _conv_flat_pallas_res(spec, relu, x, w_mat, scale, offset, residual):
+    return _conv_flat_pallas(spec, relu, x, w_mat, scale, offset, residual)
+
+
+def _conv_flat_pallas_nores(spec, relu, x, w_mat, scale, offset):
+    return _conv_flat_pallas(spec, relu, x, w_mat, scale, offset, None)
+
+
+from tunevlseg_tpu.ops.spmd import partitioned_kernel  # noqa: E402
+
+_conv_spmd_res = partitioned_kernel(
+    _conv_flat_pallas_res,
+    in_mappings=(("b", "m", "c"), ("kc", "o"), ("o",), ("o",),
+                 ("b", "m", "o")),
+    out_mappings=(("b", "m", "o"),),
+    shardable=("b",), static_argnums=(0, 1))
+
+_conv_spmd_nores = partitioned_kernel(
+    _conv_flat_pallas_nores,
+    in_mappings=(("b", "m", "c"), ("kc", "o"), ("o",), ("o",)),
+    out_mappings=(("b", "m", "o"),),
+    shardable=("b",), static_argnums=(0, 1))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _conv_flat_p(spec: FlatSpec, relu: bool, x, w_mat, scale, offset,
                  residual):
@@ -396,6 +422,16 @@ def _conv_flat_p(spec: FlatSpec, relu: bool, x, w_mat, scale, offset,
             raise ValueError(
                 f"flat conv needs ~{need >> 20}MB VMEM "
                 f"(> {_VMEM_BUDGET >> 20}MB budget) at spec={spec}")
+        if jax.device_count() > 1:
+            from tunevlseg_tpu.ops.spmd import spmd_kernels_enabled
+            if not spmd_kernels_enabled():
+                raise ValueError(
+                    "TUNEVLSEG_KERNELS_SPMD=0: flat conv kernel disabled "
+                    "on multi-device meshes")
+            if residual is None:
+                return _conv_spmd_nores(spec, relu, x, w_mat, scale, offset)
+            return _conv_spmd_res(spec, relu, x, w_mat, scale, offset,
+                                  residual)
         return _conv_flat_pallas(spec, relu, x, w_mat, scale, offset,
                                  residual)
     except Exception as e:

@@ -47,7 +47,29 @@ def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _multi_device() -> bool:
+    return jax.device_count() > 1
+
+
 def _dispatch(q, k, v, bias, kv_valid=None):
+    if _multi_device():
+        # sharded-program path: the custom_partitioning-wrapped kernels
+        # (ops/spmd.py) run on per-device local (b, h) shards
+        from tunevlseg_tpu.ops.spmd import spmd_kernels_enabled
+        if not spmd_kernels_enabled():
+            raise ValueError(
+                "TUNEVLSEG_KERNELS_SPMD=0: flash kernel disabled on "
+                "multi-device meshes")
+        if bias is None and q.shape[1] == k.shape[1]:
+            return _forward_bh_spmd(q, k, v, kv_valid)
+        if bias is None:
+            return _forward_nobias_spmd(q, k, v, kv_valid)
+        # the rule needs static factor sizes: materialize the broadcast
+        # bias (the kernel does this internally anyway)
+        b, s, h, _ = q.shape
+        bias_full = jnp.broadcast_to(
+            bias, (b, h, s, k.shape[1])).astype(jnp.float32)
+        return _forward_biased_spmd(q, k, v, bias_full, kv_valid)
     if bias is None and q.shape[1] == k.shape[1]:
         return _forward_batched_heads(q, k, v, kv_valid)
     return _forward(q, k, v, bias, kv_valid)
@@ -298,6 +320,49 @@ def _backward_batched_heads(q, k, v, g, kv_valid=None):
     return unprep(dq, s), unprep(dk, k.shape[1]), unprep(dv, k.shape[1])
 
 
+# SPMD variants: identical kernels, but partitionable along batch (dp/fsdp)
+# and heads (tp); seq and head_dim factors are need-replication. Engaged by
+# _dispatch/_bwd whenever the program spans >1 device.
+from tunevlseg_tpu.ops.spmd import partitioned_kernel  # noqa: E402
+
+_forward_bh_spmd = partitioned_kernel(
+    _forward_batched_heads,
+    in_mappings=(("b", "s", "h", "d"), ("b", "t", "h", "d"),
+                 ("b", "t", "h", "d")),
+    out_mappings=(("b", "s", "h", "d"),),
+    shardable=("b", "h"), static_argnums=(3,))
+
+_backward_bh_spmd = partitioned_kernel(
+    _backward_batched_heads,
+    in_mappings=(("b", "s", "h", "d"), ("b", "t", "h", "d"),
+                 ("b", "t", "h", "d"), ("b", "s", "h", "d")),
+    out_mappings=(("b", "s", "h", "d"), ("b", "t", "h", "d"),
+                  ("b", "t", "h", "d")),
+    shardable=("b", "h"), static_argnums=(4,))
+
+
+def _forward_nobias(q, k, v, kv_valid=None):
+    return _forward(q, k, v, None, kv_valid)
+
+
+_forward_nobias_spmd = partitioned_kernel(
+    _forward_nobias,
+    in_mappings=(("b", "s", "h", "d"), ("b", "t", "h", "d"),
+                 ("b", "t", "h", "d")),
+    out_mappings=(("b", "s", "h", "d"),),
+    shardable=("b", "h"), static_argnums=(3,))
+
+# bias operand must arrive pre-broadcast to the full (b, h, s, t) — the
+# rule binds factor sizes across operands, so a broadcastable (1, 1, s, t)
+# bias would clash with q's b/h
+_forward_biased_spmd = partitioned_kernel(
+    _forward,
+    in_mappings=(("b", "s", "h", "d"), ("b", "t", "h", "d"),
+                 ("b", "t", "h", "d"), ("b", "h", "s", "t")),
+    out_mappings=(("b", "s", "h", "d"),),
+    shardable=("b", "h"), static_argnums=(4,))
+
+
 def _fwd(kv_valid, q, k, v, bias):
     return _dispatch(q, k, v, bias, kv_valid), (q, k, v, bias)
 
@@ -306,7 +371,15 @@ def _bwd(kv_valid, res, g):
     q, k, v, bias = res
     if bias is None and q.shape[1] == k.shape[1]:
         try:
-            dq, dk, dv = _backward_batched_heads(q, k, v, g, kv_valid)
+            from tunevlseg_tpu.ops.spmd import spmd_kernels_enabled
+            if _multi_device():
+                if not spmd_kernels_enabled():
+                    raise ValueError(
+                        "TUNEVLSEG_KERNELS_SPMD=0: flash backward disabled "
+                        "on multi-device meshes")
+                dq, dk, dv = _backward_bh_spmd(q, k, v, g, kv_valid)
+            else:
+                dq, dk, dv = _backward_batched_heads(q, k, v, g, kv_valid)
             return dq, dk, dv, None
         except Exception:  # Mosaic/VMEM limits -> XLA recompute below
             if _strict():

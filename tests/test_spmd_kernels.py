@@ -206,3 +206,27 @@ def test_flash_biased_cross_attention_dp_tp(rng):
         None, q, k, v, bias))(qs, ks, vs, bias)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_vision_tower_flash_spmd_matches_xla(rng, monkeypatch):
+    """Model-level integration: the real CLIP vision tower with the flash
+    kernel FORCED (TUNEVLSEG_FLASH=1) through its SPMD rule on the dp x tp
+    mesh, batch-sharded pixels, vs the unforced XLA run — proves the
+    in-model wiring (head counts, layouts) survives sharded execution."""
+    from tunevlseg_tpu.models.clip.config import CLIPSegConfig
+    from tunevlseg_tpu.models.clip.vision import CLIPVisionTower
+
+    mesh = dp_tp_mesh()
+    cfg = CLIPSegConfig.tiny()
+    tower = CLIPVisionTower(cfg.vision)
+    pix = jnp.asarray(rng.standard_normal((8, 3, 32, 32)), jnp.float32)
+    params = tower.init(jax.random.PRNGKey(0), pix)
+
+    monkeypatch.delenv("TUNEVLSEG_FLASH", raising=False)
+    _, ref, _ = tower.apply(params, pix)  # XLA attention (CPU, unforced)
+
+    monkeypatch.setenv("TUNEVLSEG_FLASH", "1")
+    pix_s = shard(mesh, pix, P("data", None, None, None))
+    _, got, _ = jax.jit(tower.apply)(params, pix_s)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)

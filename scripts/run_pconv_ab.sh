@@ -40,3 +40,9 @@ TUNEVLSEG_PCONV=strict TUNEVLSEG_PALLAS_CONV=1 python scripts/zsbench.py \
     --fused --alpha 1.0 2>&1 | tee PERF_r04/zsbench_pconv1.log
 
 echo RUNBOOK_DONE
+
+# SPMD sanity: the custom_partitioning-wrapped kernels (sdy custom call +
+# Mosaic) must compile/run on this platform before TUNEVLSEG_KERNELS_SPMD
+# stays default-on for multi-chip (ops/spmd.py; CPU-mesh semantics already
+# proven in tests/test_spmd_kernels.py)
+python scripts/chip_spmd_sanity.py 2>&1 | tee PERF_r04/chip_spmd_sanity.log

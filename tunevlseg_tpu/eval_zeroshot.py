@@ -126,6 +126,14 @@ def build_ris(cfg: dict) -> ZeroShotRIS:
             jax.random.PRNGKey(1), jnp.ones((1, 3, 64, 64)))["params"]
         log.warning("no solo_checkpoint given: using RANDOM FreeSOLO weights")
 
+    # n_devices > 1 shards the proposal batch over a data mesh — the
+    # masked/crop CLIP towers run proposal-parallel (model.py:_pshard);
+    # mesh-vs-none parity is tested on the 8-device CPU mesh
+    mesh = None
+    if int(cfg.get("n_devices", 1) or 1) > 1:
+        from tunevlseg_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(int(cfg["n_devices"]))
+
     return ZeroShotRIS(
         clip_cfg, solo_cfg, clip_params, solo_params,
         masking_block_idx=m.get("masking_block_idx", -3),
@@ -134,7 +142,7 @@ def build_ris(cfg: dict) -> ZeroShotRIS:
         cache_dir=m.get("cache_dir"),
         read_cache=m.get("read_cache", False),
         write_cache=m.get("write_cache", False),
-        clip_model=custom_clip)
+        clip_model=custom_clip, mesh=mesh)
 
 
 def main(argv: Optional[list[str]] = None) -> dict:

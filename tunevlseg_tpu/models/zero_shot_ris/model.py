@@ -117,6 +117,14 @@ class ZeroShotRIS:
     # must expose get_text_features/get_image_features like MaskedCLIP and
     # a config with `.vision.patch_size`
     clip_model: Optional[Any] = None
+    # multi-chip inference: a jax.sharding.Mesh shards the PROPOSAL batch
+    # (the (P, ...) masks / downsampled masks / crops) over its data axis —
+    # the masked-CLIP / crop-CLIP towers, the mask-downsample einsum and
+    # the crop-resize then run proposal-parallel under GSPMD; the proposal
+    # net and text tower (batch 1-2) stay replicated. No collectives until
+    # the (P,) cosine argmax. The reference has no counterpart (its
+    # pipeline is single-GPU eval, zero_shot_ris/__init__.py).
+    mesh: Optional[Any] = None
 
     def __post_init__(self):
         self.clip = (self.clip_model if self.clip_model is not None
@@ -129,6 +137,17 @@ class ZeroShotRIS:
                                  static_argnames=("ori_hw",))
         self._jit_fused = jax.jit(self._fused_forward,
                                   static_argnames=("ori_hw",))
+
+    def _pshard(self, x):
+        """Constrain a proposal-batched (P, ...) tensor to shard its leading
+        dim over the mesh's data axis; identity without a mesh."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec
+        from tunevlseg_tpu.parallel.mesh import DATA_AXIS
+        spec = PartitionSpec(DATA_AXIS, *([None] * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, spec))
 
     # ---- FreeSOLO proposals ------------------------------------------------
 
@@ -262,6 +281,9 @@ class ZeroShotRIS:
         spends one launch and keeps everything on device."""
         masks, boxes, scores, embs, valid = self._solo_forward(
             solo_params, image, ori_hw)
+        # proposal-parallel under a mesh: the (P, H, W) masks and every
+        # (P, ...) tensor derived from them shard over the data axis
+        masks = self._pshard(masks)
         size = self.clip_image_size
         visual = 0.0
         if self.alpha != 0.0:
@@ -271,14 +293,15 @@ class ZeroShotRIS:
             cols = jnp.asarray(_resize_matrix(ori_hw[1], grid, "nearest"))
             small = jnp.einsum("gh,phw,kw->pgk", rows,
                                masks.astype(jnp.float32), cols)
-            small = (small > 0.5).astype(jnp.float32)
+            small = self._pshard((small > 0.5).astype(jnp.float32))
             mask_f = self.clip.apply(
                 {"params": clip_params}, resized, small,
                 self.masking_block_idx, method=self.clip.get_image_features)
             visual = visual + self.alpha * mask_f
         if self.alpha != 1.0:
             from tunevlseg_tpu.ops.image import crop_resize_bicubic_masked
-            crops = crop_resize_bicubic_masked(image, masks, boxes, size)
+            crops = self._pshard(
+                crop_resize_bicubic_masked(image, masks, boxes, size))
             crop_f = self.clip.apply(
                 {"params": clip_params}, crops,
                 method=self.clip.get_image_features)

@@ -46,3 +46,11 @@ echo RUNBOOK_DONE
 # stays default-on for multi-chip (ops/spmd.py; CPU-mesh semantics already
 # proven in tests/test_spmd_kernels.py)
 python scripts/chip_spmd_sanity.py 2>&1 | tee PERF_r04/chip_spmd_sanity.log
+
+# CRIS decoder 676->704 MXU pad (r3 item, equivalence-tested): the first
+# r4 attempt compared A to itself (import-time env read, since fixed) and
+# the re-measure died on the axon outage (see ab_cris_padseq.log tail) —
+# still an open measurement
+python scripts/ab_env.py \
+    --family coop_cris --env TUNEVLSEG_PAD_SEQ --a 0 --b auto \
+    2>&1 | tee PERF_r04/ab_cris_padseq2.log

@@ -256,32 +256,39 @@ def main() -> None:
     else:
         families = (args.model,)
 
-    # Watchdog: when the axon tunnel is down, backend init hangs ~25 min
-    # before raising UNAVAILABLE (observed 2026-08-18 outage) — the driver
-    # would record rc=124/parsed=null, indistinguishable from r3's scoping
-    # bug. Emit a parseable JSON error line instead and exit 0. The limit
-    # is per-family and generous (happy-path default run: 5m28s total,
-    # PERF_r04/bench_default.time); a mid-run transport stall trips it too.
+    # Watchdog on BACKEND INIT only: when the axon tunnel is down, device
+    # enumeration hangs ~25 min before raising UNAVAILABLE (observed
+    # 2026-08-18 outage) — the driver would record rc=124/parsed=null,
+    # indistinguishable from r3's scoping bug. Emit a parseable JSON error
+    # line instead and exit 0. Deliberately NOT armed over the bench
+    # itself: a healthy CRIS compile alone can exceed 10 min, and killing
+    # the process mid-TPU-op can wedge the tunnel (CLAUDE.md) — an
+    # enumeration kill is the one abort the all-night outage probes showed
+    # to be safe. The error row is named after the family the driver's
+    # tail-parse would attribute it to (the LAST in the run list).
     import threading
     limit = float(os.environ.get("TUNEVLSEG_BENCH_WATCHDOG_S", "1200"))
 
     def _fire():
         print(json.dumps({
-            "metric": "coop_clipseg_train_steps_per_sec_per_chip",
+            "metric": f"{families[-1]}_train_steps_per_sec_per_chip",
             "value": None, "unit": "steps/s/chip", "vs_baseline": None,
-            "error": f"watchdog: no progress within {limit:.0f}s — TPU "
-                     "backend unreachable (axon tunnel down?) or transport "
-                     "stalled; see PERF_r04/bench_default.json for the "
-                     "last captured run",
+            "error": f"watchdog: TPU backend init exceeded {limit:.0f}s — "
+                     "backend unreachable (axon tunnel down?); see "
+                     "PERF_r04/bench_default.json for the last captured "
+                     "run",
         }), flush=True)
         os._exit(0)
 
+    timer = threading.Timer(limit, _fire)
+    timer.daemon = True
+    timer.start()
+    import jax
+    jax.devices()  # the outage failure mode: this call hangs
+    timer.cancel()
+
     for name in families:
-        timer = threading.Timer(limit, _fire)
-        timer.daemon = True
-        timer.start()
         print(json.dumps(bench_one(name, args)), flush=True)
-        timer.cancel()
 
 
 if __name__ == "__main__":

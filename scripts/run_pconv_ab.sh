@@ -39,7 +39,6 @@ TUNEVLSEG_PCONV=strict TUNEVLSEG_PALLAS_CONV=1 python scripts/dcbench.py \
 TUNEVLSEG_PCONV=strict TUNEVLSEG_PALLAS_CONV=1 python scripts/zsbench.py \
     --fused --alpha 1.0 2>&1 | tee PERF_r04/zsbench_pconv1.log
 
-echo RUNBOOK_DONE
 
 # SPMD sanity: the custom_partitioning-wrapped kernels (sdy custom call +
 # Mosaic) must compile/run on this platform before TUNEVLSEG_KERNELS_SPMD
@@ -54,3 +53,5 @@ python scripts/chip_spmd_sanity.py 2>&1 | tee PERF_r04/chip_spmd_sanity.log
 python scripts/ab_env.py \
     --family coop_cris --env TUNEVLSEG_PAD_SEQ --a 0 --b auto \
     2>&1 | tee PERF_r04/ab_cris_padseq2.log
+
+echo RUNBOOK_DONE

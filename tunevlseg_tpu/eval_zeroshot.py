@@ -131,8 +131,15 @@ def build_ris(cfg: dict) -> ZeroShotRIS:
     # mesh-vs-none parity is tested on the 8-device CPU mesh
     mesh = None
     if int(cfg.get("n_devices", 1) or 1) > 1:
+        n = int(cfg["n_devices"])
+        if jax.device_count() < n:
+            # make_mesh would silently truncate — the run would claim
+            # proposal-parallel N-way execution while running on fewer
+            raise ValueError(
+                f"n_devices={n} but only {jax.device_count()} device(s) "
+                "visible; lower n_devices or fix the platform")
         from tunevlseg_tpu.parallel.mesh import make_mesh
-        mesh = make_mesh(int(cfg["n_devices"]))
+        mesh = make_mesh(n)
 
     return ZeroShotRIS(
         clip_cfg, solo_cfg, clip_params, solo_params,

@@ -39,9 +39,9 @@ def _flash_mode() -> str:
     return os.environ.get("TUNEVLSEG_FLASH", "auto")
 
 
-def _spmd_kernels() -> bool:
-    from tunevlseg_tpu.ops.spmd import spmd_kernels_enabled
-    return spmd_kernels_enabled()
+def _kernels_blocked() -> bool:
+    from tunevlseg_tpu.ops.spmd import multi_device_kernels_blocked
+    return multi_device_kernels_blocked()
 
 
 def xla_attention(
@@ -95,7 +95,7 @@ def dot_product_attention(
         # custom_partitioning rule (ops/spmd.py: batch/head shardable,
         # seq/head_dim replicated — matches the dp/tp/fsdp shardings);
         # TUNEVLSEG_KERNELS_SPMD=0 is the kill switch back to XLA
-        and (jax.device_count() == 1 or _spmd_kernels())
+        and not _kernels_blocked()
     )
     if use_flash:
         from tunevlseg_tpu.ops import flash_attention as fa

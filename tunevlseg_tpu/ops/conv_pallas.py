@@ -72,8 +72,8 @@ def flat_conv_mode() -> str:
     v = os.environ.get("TUNEVLSEG_PALLAS_CONV", "0")
     if v in ("0", ""):
         return "0"
-    if (jax.default_backend() == "tpu" and jax.device_count() > 1
-            and os.environ.get("TUNEVLSEG_KERNELS_SPMD", "1") == "0"):
+    from tunevlseg_tpu.ops.spmd import multi_device_kernels_blocked
+    if jax.default_backend() == "tpu" and multi_device_kernels_blocked():
         return "0"
     return v
 
@@ -423,11 +423,8 @@ def _conv_flat_p(spec: FlatSpec, relu: bool, x, w_mat, scale, offset,
                 f"flat conv needs ~{need >> 20}MB VMEM "
                 f"(> {_VMEM_BUDGET >> 20}MB budget) at spec={spec}")
         if jax.device_count() > 1:
-            from tunevlseg_tpu.ops.spmd import spmd_kernels_enabled
-            if not spmd_kernels_enabled():
-                raise ValueError(
-                    "TUNEVLSEG_KERNELS_SPMD=0: flat conv kernel disabled "
-                    "on multi-device meshes")
+            from tunevlseg_tpu.ops.spmd import require_spmd_kernels
+            require_spmd_kernels("flat conv kernel")
             if residual is None:
                 return _conv_spmd_nores(spec, relu, x, w_mat, scale, offset)
             return _conv_spmd_res(spec, relu, x, w_mat, scale, offset,

@@ -55,11 +55,8 @@ def _dispatch(q, k, v, bias, kv_valid=None):
     if _multi_device():
         # sharded-program path: the custom_partitioning-wrapped kernels
         # (ops/spmd.py) run on per-device local (b, h) shards
-        from tunevlseg_tpu.ops.spmd import spmd_kernels_enabled
-        if not spmd_kernels_enabled():
-            raise ValueError(
-                "TUNEVLSEG_KERNELS_SPMD=0: flash kernel disabled on "
-                "multi-device meshes")
+        from tunevlseg_tpu.ops.spmd import require_spmd_kernels
+        require_spmd_kernels("flash kernel")
         if bias is None and q.shape[1] == k.shape[1]:
             return _forward_bh_spmd(q, k, v, kv_valid)
         if bias is None:
@@ -371,12 +368,9 @@ def _bwd(kv_valid, res, g):
     q, k, v, bias = res
     if bias is None and q.shape[1] == k.shape[1]:
         try:
-            from tunevlseg_tpu.ops.spmd import spmd_kernels_enabled
             if _multi_device():
-                if not spmd_kernels_enabled():
-                    raise ValueError(
-                        "TUNEVLSEG_KERNELS_SPMD=0: flash backward disabled "
-                        "on multi-device meshes")
+                from tunevlseg_tpu.ops.spmd import require_spmd_kernels
+                require_spmd_kernels("flash backward")
                 dq, dk, dv = _backward_bh_spmd(q, k, v, g, kv_valid)
             else:
                 dq, dk, dv = _backward_batched_heads(q, k, v, g, kv_valid)

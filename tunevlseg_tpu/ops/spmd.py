@@ -134,3 +134,20 @@ def spmd_kernels_enabled() -> bool:
     falls back to the plain XLA formulations on multi-device meshes)."""
     import os
     return os.environ.get("TUNEVLSEG_KERNELS_SPMD", "1") != "0"
+
+
+def multi_device_kernels_blocked() -> bool:
+    """THE kill-switch decision, shared by every dispatch site (attention
+    gate, flash dispatch/backward, flat_conv_mode, conv dispatch): True iff
+    the program spans >1 device AND TUNEVLSEG_KERNELS_SPMD=0 opted those
+    programs back to the XLA formulations."""
+    return jax.device_count() > 1 and not spmd_kernels_enabled()
+
+
+def require_spmd_kernels(what: str) -> None:
+    """Raise the standard kill-switch error (callers catch it to fall back
+    to their XLA path; strict modes re-raise it loudly)."""
+    if multi_device_kernels_blocked():
+        raise ValueError(
+            f"TUNEVLSEG_KERNELS_SPMD=0: {what} disabled on multi-device "
+            "meshes")

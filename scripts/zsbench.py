@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--img", type=int, default=800,
                     help="input resolution (reference zsseg resizes shortest "
                          "side to 800 for FreeSOLO)")
+    ap.add_argument("--n-devices", type=int, default=1,
+                    help="shard the proposal batch over a data mesh "
+                         "(ZeroShotRIS(mesh=...)); needs that many chips")
     ap.add_argument("--fused", action="store_true",
                     help="use the single-launch fused device path (works at "
                          "ANY alpha — the device crop-resize branch covers "
@@ -69,9 +72,14 @@ def main():
     solo_params = solo.init(rng, preprocess_image(
         jnp.ones((3, args.img, args.img)), solo_cfg))["params"]
 
+    mesh = None
+    if args.n_devices > 1:
+        from tunevlseg_tpu.parallel.mesh import make_mesh
+        assert len(jax.devices()) >= args.n_devices, jax.devices()
+        mesh = make_mesh(args.n_devices)
     ris = ZeroShotRIS(clip_config=clip_cfg, solo_config=solo_cfg,
                       clip_params=clip_params, solo_params=solo_params,
-                      alpha=args.alpha)
+                      alpha=args.alpha, mesh=mesh)
 
     nrng = np.random.default_rng(0)
     ids = nrng.integers(3, 1000, size=(2, 77)).astype(np.int32)
@@ -100,6 +108,7 @@ def main():
         "value": round(ips, 4),
         "unit": "imgs/s",
         "ms_per_image": round(1e3 * dt / args.images, 1),
+        "n_devices": args.n_devices,
     }), flush=True)
 
 

@@ -266,3 +266,21 @@ def test_conv_flat_spmd_inserts_no_collectives(rng):
     for coll in ("all-gather", "all-to-all", "all-reduce",
                  "collective-permute"):
         assert coll not in hlo, f"unexpected {coll} around the flat conv"
+
+
+def test_flash_spmd_legacy_gspmd_partitioner(rng):
+    """The infer/partition callbacks serve the legacy (non-shardy)
+    partitioner — flip it off for one compile to exercise them."""
+    mesh = dp_tp_mesh()
+    q, k, v = qkv(rng, b=4, s=128, h=2)
+    ref = fa._forward_batched_heads(q, k, v, None)
+    spec = P("data", None, "model", None)
+    qs, ks, vs = (shard(mesh, x, spec) for x in (q, k, v))
+    jax.config.update("jax_use_shardy_partitioner", False)
+    try:
+        out = jax.jit(lambda q, k, v: fa.flash_attention_p(
+            None, q, k, v, None))(qs, ks, vs)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+    finally:
+        jax.config.update("jax_use_shardy_partitioner", True)

@@ -8,6 +8,10 @@ TUNEVLSEG_KERNELS_SPMD semantics.
 
 Usage (chip):  python scripts/chip_spmd_sanity.py
 """
+import sys
+
+sys.path.insert(0, "/root/repo")
+
 import numpy as np
 
 import jax

@@ -68,14 +68,19 @@ def main():
             dimension_numbers=lax.conv_dimension_numbers(
                 x.shape, w.shape, dn)).astype(x.dtype)
 
+    only = set(sys.argv[1:])  # optional case-name filter for re-runs
+
     def bench_case(name, cin, cout, k, hw):
+        if only and name not in only:
+            return
         x_nchw = jnp.asarray(rng.normal(size=(B, cin, hw, hw)), jnp.bfloat16)
         x_nhwc = jnp.asarray(np.moveaxis(np.asarray(x_nchw, np.float32),
                                          1, -1), jnp.bfloat16)
         w_oihw = jnp.asarray(rng.normal(size=(cout, cin, k, k)) * 0.05,
                              jnp.bfloat16)
         w_hwio = jnp.transpose(w_oihw, (2, 3, 1, 0))
-        back = jnp.asarray(rng.normal(size=(cout, cin, 1, 1)) * 0.05,
+        # channel-restoring 1x1 (cout -> cin) so the two-conv chain composes
+        back = jnp.asarray(rng.normal(size=(cin, cout, 1, 1)) * 0.05,
                            jnp.bfloat16)
         spec = cp.make_flat_spec(hw, hw, max(k // 2, 1),
                                  max_k2c=k * k * cin, itemsize=2)

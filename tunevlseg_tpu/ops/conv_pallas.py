@@ -49,6 +49,11 @@ import numpy as np
 
 _INTERPRET = False  # flipped by tests on CPU
 _FORCE_MODE: Optional[str] = None  # "im2col" | "taps" — micro-bench override
+# Both grid dims are dependency-free (each step writes a disjoint output
+# block; halo reads only overlap INPUT blocks), so "parallel" is legal on
+# both. Kept overridable for micro probes (scripts/micro_pconv_probe.py).
+_DIM_SEMANTICS = ("arbitrary", "arbitrary")
+_SKIP_MASK = False  # timing probe ONLY: skip the validity-mask epilogue
 _WARNED_FALLBACK = False
 
 
@@ -324,13 +329,16 @@ def _conv_flat_pallas(spec: FlatSpec, relu: bool, x, w_mat, scale, offset,
                 acc = acc + res_ref[0].astype(jnp.float32)
             if relu:
                 acc = jnp.maximum(acc, 0.0)
-            i = jax.lax.broadcasted_iota(jnp.int32, (mb, 1), 0) + p0
-            p = i - mb
-            pc = jnp.maximum(p, 0)
-            hh, ww = pc // wp, pc % wp
-            valid = ((p >= 0) & (hh >= r) & (hh < hp - r)
-                     & (ww >= r) & (ww < wp - r))
-            o_ref[0] = jnp.where(valid, acc, 0.0).astype(o_ref.dtype)
+            if _SKIP_MASK:  # timing probe only (wrong ring-row numerics)
+                o_ref[0] = acc.astype(o_ref.dtype)
+            else:
+                i = jax.lax.broadcasted_iota(jnp.int32, (mb, 1), 0) + p0
+                p = i - mb
+                pc = jnp.maximum(p, 0)
+                hh, ww = pc // wp, pc % wp
+                valid = ((p >= 0) & (hh >= r) & (hh < hp - r)
+                         & (ww >= r) & (ww < wp - r))
+                o_ref[0] = jnp.where(valid, acc, 0.0).astype(o_ref.dtype)
 
     # prev halo = tail qb rows of band j-1 (qb-block d*j - 1); next halo
     # = head qb rows of band j+1 (qb-block d*(j+1)); clamped fetches at
@@ -368,7 +376,7 @@ def _conv_flat_pallas(spec: FlatSpec, relu: bool, x, w_mat, scale, offset,
         out_shape=jax.ShapeDtypeStruct((b, rows, cout), x.dtype),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=_DIM_SEMANTICS),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=(x.size * (d + 2) // d if halo else x.size)

@@ -48,7 +48,12 @@ _PAD_MIN_SEQ = 256
 
 def _padded_len(s: int) -> Optional[int]:
     """Target length if MXU padding applies at this sequence, else None."""
-    return decoder_padded_len(s, 128)
+    mode = os.environ.get("TUNEVLSEG_PAD_SEQ", "auto")
+    if mode == "0" or s % 128 == 0 or s < _PAD_MIN_SEQ:
+        return None
+    if mode != "1" and jax.default_backend() != "tpu":
+        return None
+    return (s + 127) // 128 * 128
 
 
 def decoder_padded_len(s: int, multiple: int = 64) -> Optional[int]:
@@ -56,13 +61,16 @@ def decoder_padded_len(s: int, multiple: int = 64) -> Optional[int]:
 
     Decoder sequences appear as GEMM *rows* (per-token projections/FFN) and
     inside the flash kernel (which lane-pads its own score tiles to 128), so
-    a 64-multiple (676 -> 704, +4.1% rows) captures the tiling win without
-    the +13.6% FLOP cost of a full 128 pad (676 -> 768). Same TUNEVLSEG_
-    PAD_SEQ gating as the tower."""
+    a 64-multiple (676 -> 704, +4.1% rows) was expected to capture a tiling
+    win — but the chip A/B measured it 0.52% SLOWER e2e on CRIS b64@416
+    (PERF_r04/ab_cris_padseq2.log: paired ratio 0.9948 over 6 windows; the
+    decoder is a small share of the step and the extra rows cost more than
+    the alignment saves at multiple=64). Decoder padding is therefore
+    OPT-IN (TUNEVLSEG_PAD_SEQ=1, kept for tests and future shapes); the
+    tower's 128-pad above stays "auto" — its +1.3% e2e flagship win was
+    measured separately (CLAUDE.md r2)."""
     mode = os.environ.get("TUNEVLSEG_PAD_SEQ", "auto")
-    if mode == "0" or s % multiple == 0 or s < _PAD_MIN_SEQ:
-        return None
-    if mode != "1" and jax.default_backend() != "tpu":
+    if mode != "1" or s % multiple == 0 or s < _PAD_MIN_SEQ:
         return None
     return (s + multiple - 1) // multiple * multiple
 

@@ -88,7 +88,12 @@ def main():
                     cp._FORCE_MODE = None
                     cp._DIM_SEMANTICS = ("arbitrary", "arbitrary")
                     cp._SKIP_MASK = False
-            ms = timed(f, x_flat)
+            try:
+                ms = timed(f, x_flat)
+            except Exception as e:  # compile-time VMEM OOM etc.
+                print(f"{name:14s} {tag:12s} FAILED: "
+                      f"{str(e).splitlines()[0][:120]}", flush=True)
+                return
             steps = B * (spec.nb_pix + 2)
             print(f"{name:14s} {tag:12s} {ms:7.3f} ms  ideal {ideal:5.2f}"
                   f"  mfu {ideal / ms * 100:4.1f}%  mb={spec.mb}"

@@ -251,7 +251,12 @@ def _kernel_vmem_bytes(spec: FlatSpec, c: int, k2c: int, cout: int,
     resident = k2c * cout + (mb + 2 * qb) * c  # weights + window copy
     if _use_im2col(k2c // c, c):
         resident += mb * k2c
-    return (2 * streamed + resident) * itemsize
+    # Count the resident scratch double too: Mosaic allocates the window
+    # copy / im2col buffer on the pipelined stack, so an up-banded
+    # im2col case measured 30.31M actual scoped VMEM against an 11.6M
+    # single-buffered estimate (PERF_r04/micro_pconv_probe.log) — the
+    # single-counted guard let it through to a compile-time OOM.
+    return 2 * (streamed + resident) * itemsize
 
 
 def _conv_flat_pallas(spec: FlatSpec, relu: bool, x, w_mat, scale, offset,

@@ -118,10 +118,16 @@ def test_full_train_eval_cycle(synth_root, tmp_path):
         "trainer.n_devices=4",
         f"ckpt_path={ckpt_dir}",
         "exp_name=smoke_eval",
+        f"+export_dir={tmp_path / 'serving'}",
     ])
     assert "test_dice" in eval_result
     np.testing.assert_allclose(eval_result["test_dice"],
                                result["test_dice"], atol=1e-5)
+    # export_dir also froze the inference step to a serving artifact
+    from tunevlseg_tpu import serving
+    meta = serving.read_meta(eval_result["export_dir"])
+    assert meta["kind"] == "segmentation_task_predict"
+    assert (Path(eval_result["export_dir"]) / "predict.stablehlo").exists()
 
 
 def test_cris_train_cycle(synth_root, tmp_path):

@@ -81,6 +81,16 @@ def _run(cfg: dict) -> dict:
         trainer.predict(state, frozen, test_loader, save_dir=out_dir,
                         use_best=False)
         result["output_masks_dir"] = str(out_dir)
+    if cfg.get("export_dir"):
+        # freeze the (checkpoint-restored) inference step to a StableHLO
+        # serving artifact — see tunevlseg_tpu/serving.py
+        from tunevlseg_tpu import serving
+        graph = serving.export_task_predict(
+            task, state, frozen, device_batch(sample),
+            cfg["export_dir"],
+            platforms=tuple(cfg.get("export_platforms", ())) or None)
+        result["export_dir"] = str(graph.parent)
+        log.info(f"exported serving artifact: {graph}")
     log.info(f"done: {result}")
     return result
 

@@ -427,6 +427,19 @@ def _run(cfg: dict) -> dict:
         out_dir = Path(cfg["paths"]["output_dir"]) / "output_masks"
         trainer.predict(state, frozen, loaders["test"], save_dir=out_dir)
         result["output_masks_dir"] = str(out_dir)
+    if cfg.get("export_dir"):
+        # beyond-reference deployment surface: freeze the inference step
+        # into a StableHLO artifact (serving.py) next to the checkpoints;
+        # weights ride as call args so the trained orbax checkpoint pairs
+        # with it unchanged
+        from tunevlseg_tpu import serving
+        sample = next(iter(loaders["test"]))
+        graph = serving.export_task_predict(
+            task, state, frozen, device_batch(sample),
+            cfg["export_dir"],
+            platforms=tuple(cfg.get("export_platforms", ())) or None)
+        result["export_dir"] = str(graph.parent)
+        log.info(f"exported serving artifact: {graph}")
     log.info(f"done: {result}")
     return result
 

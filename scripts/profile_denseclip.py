@@ -26,24 +26,28 @@ import numpy as np  # noqa: E402
 B, IMG, ITERS, WINDOWS = 16, 512, 10, 5
 
 
-def timed_scan(make_body, init, iters=ITERS, windows=WINDOWS):
-    """Median ms of one body application, body scanned in-jit."""
+def timed_scan(make_body, init, *consts, iters=ITERS, windows=WINDOWS):
+    """Median ms of one body application, body scanned in-jit.
+
+    `consts` (weights etc.) are jit ARGUMENTS, never closure constants —
+    the axon remote-compile chokes on programs with params baked in
+    (CLAUDE.md perf-measurement rules)."""
     import jax
     import jax.numpy as jnp
 
-    def scanned(c):
+    def scanned(c, *consts):
         def body(c, _):
-            return make_body(c), ()
+            return make_body(c, *consts), ()
         out, _ = jax.lax.scan(body, c, None, length=iters)
         return out
 
     j = jax.jit(scanned)
-    out = j(init)
+    out = j(init, *consts)
     float(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32).sum())
     ts = []
     for _ in range(windows):
         t0 = time.perf_counter()
-        out = j(init)
+        out = j(init, *consts)
         float(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32).sum())
         ts.append((time.perf_counter() - t0) / iters * 1e3)
     return float(np.median(ts))
@@ -77,47 +81,44 @@ def main():
 
     rows = {}
 
-    # 1) forward only (logits + score map), dropout off like the step's
-    #    deterministic=False but without rng plumbing noise
+    # 1) forward only (logits + score map)
     params, extras = task._merged(state.trainable, frozen)
     variables = {"params": params, **extras, **state.model_state}
 
-    def fwd(img):
+    def fwd(img, variables):
         logits, score = model.apply(variables, img, with_score_map=True)
         # keep both outputs live; fold into a same-shape carry
         return img + (jnp.sum(logits) * 0 + jnp.sum(score) * 0
                       ).astype(img.dtype)
 
-    rows["fwd_ms"] = timed_scan(fwd, batch["image"])
+    rows["fwd_ms"] = timed_scan(fwd, batch["image"], variables)
 
     # 2) fwd + bwd of the full loss (no optimizer update)
-    def loss_of(trainable, img):
-        return task._loss(trainable, state.model_state, frozen,
-                          {"image": img, "label": batch["label"]},
-                          jax.random.PRNGKey(0))[0]
-
-    g = jax.grad(loss_of)
-
-    def fwdbwd(tr):
-        grads = g(tr, batch["image"])
+    def fwdbwd(tr, frozen, model_state, batch):
+        def loss_of(trainable):
+            return task._loss(trainable, model_state, frozen, batch,
+                              jax.random.PRNGKey(0))[0]
+        grads = jax.grad(loss_of)(tr)
         return jax.tree_util.tree_map(lambda a, b: a + 0 * b, tr, grads)
 
-    rows["fwd_bwd_ms"] = timed_scan(fwdbwd, state.trainable)
+    rows["fwd_bwd_ms"] = timed_scan(fwdbwd, state.trainable, frozen,
+                                    state.model_state, batch)
 
     # 3) loss-side only: CE + score-map resize at fixed model outputs
     logits, score = jax.jit(
         lambda v, x: model.apply(v, x, with_score_map=True))(
             variables, batch["image"])
 
-    def loss_only(lg):
+    def loss_only(lg, labels):
         l, s = lg
         val, grads = jax.value_and_grad(
-            lambda l, s: denseclip_losses(l, s, batch["label"], tau=cfg.tau,
+            lambda l, s: denseclip_losses(l, s, labels, tau=cfg.tau,
                                           identity_weight=cfg.identity_weight
                                           )["loss"], argnums=(0, 1))(l, s)
         return (l + grads[0] * 0, s + grads[1] * 0)
 
-    rows["loss_only_ms"] = timed_scan(loss_only, (logits, score))
+    rows["loss_only_ms"] = timed_scan(loss_only, (logits, score),
+                                      batch["label"])
 
     # 4) the full train step (compile via the task's own jit path)
     import tunevlseg_tpu.parallel.mesh as mesh_lib

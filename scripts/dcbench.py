@@ -23,7 +23,7 @@ import numpy as np  # noqa: E402
 
 
 def bench_train(batch: int, remat: bool, iters: int = 10,
-                windows: int = 5):
+                windows: int = 5, scan: int = 5):
     import jax
     import jax.numpy as jnp
 
@@ -81,7 +81,17 @@ def bench_train(batch: int, remat: bool, iters: int = 10,
             os.environ["TUNEVLSEG_FLASH"] = prev
 
     task.donate_state = False         # reuse the state across timed windows
-    train, _ = task.compile_steps(mesh)
+    if scan > 1:
+        # steps-per-execution: the per-launch dispatch/sync on this remote
+        # transport measured ~15 ms/step — 150 ms of the 258 ms single-
+        # launch step (PERF_r04/profile_denseclip.log)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        train = task.compile_train_multistep(mesh, scan)
+        stacked_sh = NamedSharding(mesh, P(None, mesh_lib.DATA_AXIS))
+        sharded = {k: jax.device_put(np.stack([v] * scan), stacked_sh)
+                   for k, v in batch_np.items()}
+    else:
+        train, _ = task.compile_steps(mesh)
     state, m = train(state, frozen, sharded)        # compile + warm
     float(m["loss"])
     ts = []
@@ -90,13 +100,13 @@ def bench_train(batch: int, remat: bool, iters: int = 10,
         for _ in range(iters):
             state, m = train(state, frozen, sharded)
         float(m["loss"])                            # device sync barrier
-        ts.append((time.perf_counter() - t0) / iters)
+        ts.append((time.perf_counter() - t0) / (iters * scan))
     dt = float(np.median(ts))
     rec = {"metric": "denseclip_rn50_train512_steps_per_sec",
            "value": round(1.0 / dt, 3), "unit": "steps/s",
            "ms_per_step": round(dt * 1e3, 1),
            "imgs_per_sec": round(batch / dt, 1),
-           "batch": batch, "remat": remat,
+           "batch": batch, "remat": remat, "scan": scan,
            "samples": [round(1.0 / t, 3) for t in ts]}
     if flops is not None:
         achieved = flops / dt / 1e12
@@ -115,9 +125,11 @@ def main():
                          "x 4 'gpus' worth on one chip)")
     ap.add_argument("--remat", action="store_true",
                     help="train with jax.checkpoint on the loss")
+    ap.add_argument("--scan", type=int, default=5,
+                    help="steps per execution for --train (lax.scan)")
     args = ap.parse_args()
     if args.train:
-        bench_train(args.batch, args.remat)
+        bench_train(args.batch, args.remat, scan=args.scan)
         return
 
     import jax

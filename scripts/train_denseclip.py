@@ -48,6 +48,11 @@ def parse_args(argv=None):
     ap.add_argument("--fsdp", action="store_true")
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--accumulate", type=int, default=1)
+    ap.add_argument("--spe", type=int, default=1,
+                    help="steps-per-execution: lax.scan this many train "
+                         "steps into one launch (amortizes the ~15 ms "
+                         "per-launch dispatch on remote transports — "
+                         "PERF_r04/profile_denseclip.log)")
     ap.add_argument("--synthetic", action="store_true",
                     help="random data (smoke test, no files needed)")
     ap.add_argument("--tiny", action="store_true",
@@ -177,19 +182,34 @@ def main(argv=None):
         state = mesh_lib.replicate(mesh, state)
     frozen = mesh_lib.replicate(mesh, frozen)
     train_step, eval_step = task.compile_steps(mesh, state_shardings=ssh)
+    if args.spe > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        train_multi = task.compile_train_multistep(mesh, args.spe,
+                                                   state_shardings=ssh)
+        stacked_sh = NamedSharding(mesh, P(None, mesh_lib.DATA_AXIS))
 
     args.out.mkdir(parents=True, exist_ok=True)
     ckpt = CheckpointManager(args.out / "checkpoints", monitor="val_acc")
     metrics_path = args.out / "metrics.jsonl"
-    last_t, last_it = time.perf_counter(), 0
-    for it in range(1, args.iters + 1):
-        sharded = mesh_lib.shard_batch(mesh, next_batch())
-        state, m = train_step(state, frozen, sharded)
-        if it == 1:
+    last_t, last_it, last_val = time.perf_counter(), 0, 0
+    it = 0
+    while it < args.iters:
+        if args.spe > 1:
+            group = [next_batch() for _ in range(args.spe)]
+            stacked = {k: jax.device_put(
+                np.stack([b[k] for b in group]), stacked_sh)
+                for k in group[0]}
+            state, m = train_multi(state, frozen, stacked)
+            it += args.spe
+        else:
+            sharded = mesh_lib.shard_batch(mesh, next_batch())
+            state, m = train_step(state, frozen, sharded)
+            it += 1
+        if it <= args.spe:
             # drop the compile from the first throughput window
             float(m["loss"])
-            last_t, last_it = time.perf_counter(), 1
-        if it % args.log_every == 0 or it == args.iters:
+            last_t, last_it = time.perf_counter(), it
+        if it - last_it >= args.log_every or it >= args.iters:
             m = {k: float(v) for k, v in m.items()}
             m["iter"] = it
             window = it - last_it
@@ -200,7 +220,8 @@ def main(argv=None):
             log.info("iter %d: %s", it, json.dumps(m))
             with metrics_path.open("a") as f:
                 f.write(json.dumps(m) + "\n")
-        if it % args.val_every == 0 or it == args.iters:
+        if it - last_val >= args.val_every or it >= args.iters:
+            last_val = it
             ev = eval_step(state, frozen,
                            mesh_lib.shard_batch(mesh, next_batch(False)))
             ev = {f"val_{k}": float(v) for k, v in ev.items()}

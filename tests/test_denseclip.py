@@ -372,6 +372,71 @@ def test_denseclip_train_smoke():
     np.testing.assert_allclose(float(sched(80_000)), 1e-6, rtol=1e-5)
 
 
+def test_denseclip_multistep_matches_sequential():
+    """compile_train_multistep(K=2) (steps-per-execution) produces the same
+    trainable params and mean metrics as two sequential launches — the scan
+    changes dispatch, never semantics (dropout rngs fold from state.step
+    either way).
+
+    Tested under SGD: the scan body and the single step compile into
+    DIFFERENT fusions, whose f32 reassociation perturbs near-zero gradients
+    by ~1e-7, and Adam turns any near-zero-grad perturbation into a full
+    g/|g|-scale update (sign flip) — full-finetune DenseCLIP has millions
+    of such params at init. SGD keeps params linear in grads so the
+    structural equivalence is visible; the Adam flavor of this invariant is
+    covered by test_multistep_scan_matches_sequential (prompt-only CLIPSeg,
+    well-conditioned grads)."""
+    import optax
+
+    from tunevlseg_tpu.models.denseclip.model import DenseCLIP
+    from tunevlseg_tpu.parallel import mesh as mesh_lib
+    from tunevlseg_tpu.training.denseclip_task import DenseCLIPTask
+
+    cfg = DenseCLIPConfig.tiny(head_dropout=0.0)
+    rng = np.random.default_rng(3)
+    class_ids = rng.integers(1, cfg.vocab_size - 1,
+                             (cfg.num_classes, cfg.text_context_length)
+                             ).astype(np.int32)
+    class_ids[:, -1] = cfg.vocab_size - 1
+    model = DenseCLIP(cfg, class_token_ids=class_ids, bn_train=True)
+    task = DenseCLIPTask(model, learning_rate=3e-3, total_iters=200,
+                         warmup_iters=5, donate_state=False)
+    task.tx = optax.sgd(1e-2)         # see docstring: isolate the scan
+
+    B, H = 8, 64
+    b1 = {"image": rng.normal(size=(B, 3, H, H)).astype(np.float32),
+          "label": rng.integers(0, cfg.num_classes, (B, H, H)
+                                ).astype(np.int32)}
+    b2 = {"image": rng.normal(size=(B, 3, H, H)).astype(np.float32),
+          "label": rng.integers(0, cfg.num_classes, (B, H, H)
+                                ).astype(np.int32)}
+
+    mesh = mesh_lib.make_mesh()
+    state, frozen = task.init(jax.random.PRNGKey(0), b1)
+    state = mesh_lib.replicate(mesh, state)
+    frozen = mesh_lib.replicate(mesh, frozen)
+
+    train, _ = task.compile_steps(mesh)
+    s_seq, m1 = train(state, frozen, mesh_lib.shard_batch(mesh, b1))
+    s_seq, m2 = train(s_seq, frozen, mesh_lib.shard_batch(mesh, b2))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    stacked_sh = NamedSharding(mesh, P(None, mesh_lib.DATA_AXIS))
+    stacked = {k: jax.device_put(np.stack([b1[k], b2[k]]), stacked_sh)
+               for k in b1}
+    multi = task.compile_train_multistep(mesh, 2)
+    s_multi, mm = multi(state, frozen, stacked)
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5),
+        s_seq.trainable, s_multi.trainable)
+    np.testing.assert_allclose(
+        float(mm["loss"]),
+        (float(m1["loss"]) + float(m2["loss"])) / 2, rtol=1e-5)
+    assert int(s_multi.step) == 2
+
+
 def test_denseclip_fsdp_remat_accum_step():
     """The TPU scaling levers on the DenseCLIP task: fsdp-sharded params +
     Adam state, remat, and grad accumulation compose into one finite jitted
@@ -430,7 +495,8 @@ def test_train_denseclip_driver_smoke(tmp_path):
     final = mod.main(["--synthetic", "--tiny", "--iters", "20",
                       "--batch", "8", "--warmup-iters", "5",
                       "--lr", "3e-3", "--val-every", "10",
-                      "--log-every", "5", "--out", str(tmp_path / "dc")])
+                      "--log-every", "5", "--spe", "4",
+                      "--out", str(tmp_path / "dc")])
     assert np.isfinite(final["loss"])
     assert (tmp_path / "dc" / "checkpoints" / "last").exists()
     assert (tmp_path / "dc" / "metrics.jsonl").exists()

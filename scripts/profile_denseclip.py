@@ -1,19 +1,23 @@
 """Decompose the DenseCLIP RN50@512 train step on the chip (axon-safe sync).
 
-dcbench --train measured 3.89 steps/s (257 ms/step, 12.4% MFU) at b16@512
-(PERF_r04/dcbench_train.log); this times the step's constituents to locate
-the deficit (mirrors scripts/profile_cris.py / profile_trans_seg.py):
+dcbench --train measures ~3.9 steps/s (253-257 ms/step, 12.4% MFU) at
+b16@512 with launch overhead already amortized (scan=5 vs single-launch
+differ by only ~4 ms), so the cost is the program itself. This times the
+step's constituents (mirrors scripts/profile_cris.py):
 
   * fwd          model forward (logits + score map), bf16, bn_train
   * fwd+bwd      value_and_grad of the full loss (no optimizer)
+  * +opt         fwd+bwd plus tx.update/apply_updates (the real carry)
   * loss-only    value_and_grad of denseclip_losses at FIXED model outputs
-                 (CE + resize at the 512^2 label grid: measures the
-                 loss-side HBM traffic in isolation)
-  * step         the full jitted train step (dcbench --train's number)
+  * metrics      pixel_accuracy at fixed logits (argmax over 150ch @512^2)
+  * step         the full jitted train step via compile_train_multistep
 
-Each jit loops ITERS times in-program via lax.scan where stateless, else
-python-loops with ONE scalar sync at the end (CLAUDE.md measurement rules).
-Writes one JSON line per row.
+Every row keeps its results live through scalar/tree sums folded into the
+scan carry — never `x + 0*grad` tricks, which XLA's algebraic simplifier
+can fold away and silently DCE the very computation being timed (the
+first version of this script under-measured fwd+bwd that way). Params
+ride as jit ARGUMENTS (CLAUDE.md: baked-constant closures choke the axon
+remote-compile). Writes one JSON line.
 """
 import json
 import sys
@@ -26,19 +30,25 @@ import numpy as np  # noqa: E402
 B, IMG, ITERS, WINDOWS = 16, 512, 10, 5
 
 
-def timed_scan(make_body, init, *consts, iters=ITERS, windows=WINDOWS):
-    """Median ms of one body application, body scanned in-jit.
+def tree_sum(tree):
+    import jax
+    import jax.numpy as jnp
 
-    `consts` (weights etc.) are jit ARGUMENTS, never closure constants —
-    the axon remote-compile chokes on programs with params baked in
-    (CLAUDE.md perf-measurement rules)."""
+    return sum(jnp.sum(l.astype(jnp.float32))
+               for l in jax.tree_util.tree_leaves(tree)
+               if jnp.issubdtype(l.dtype, jnp.floating))
+
+
+def timed_scan(body, init, *consts, iters=ITERS, windows=WINDOWS, tag=""):
+    """Median ms of one body application; body(carry, *consts) -> carry,
+    scanned in-jit so each launch runs `iters` applications."""
     import jax
     import jax.numpy as jnp
 
     def scanned(c, *consts):
-        def body(c, _):
-            return make_body(c, *consts), ()
-        out, _ = jax.lax.scan(body, c, None, length=iters)
+        def step(c, _):
+            return body(c, *consts), ()
+        out, _ = jax.lax.scan(step, c, None, length=iters)
         return out
 
     j = jax.jit(scanned)
@@ -50,7 +60,10 @@ def timed_scan(make_body, init, *consts, iters=ITERS, windows=WINDOWS):
         out = j(init, *consts)
         float(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32).sum())
         ts.append((time.perf_counter() - t0) / iters * 1e3)
-    return float(np.median(ts))
+    ms = float(np.median(ts))
+    if tag:
+        print(f"# {tag}: {ms:.2f} ms", flush=True)
+    return ms
 
 
 def main():
@@ -60,7 +73,8 @@ def main():
     from tunevlseg_tpu.models.denseclip.loss import denseclip_losses
     from tunevlseg_tpu.models.denseclip.model import (DenseCLIP,
                                                       DenseCLIPConfig)
-    from tunevlseg_tpu.training.denseclip_task import DenseCLIPTask
+    from tunevlseg_tpu.training.denseclip_task import (DenseCLIPTask,
+                                                       pixel_accuracy)
 
     cfg = DenseCLIPConfig()
     rng = np.random.default_rng(0)
@@ -80,63 +94,72 @@ def main():
     state, frozen = task.init(jax.random.PRNGKey(0), batch)
 
     rows = {}
-
-    # 1) forward only (logits + score map)
     params, extras = task._merged(state.trainable, frozen)
     variables = {"params": params, **extras, **state.model_state}
 
-    def fwd(img, variables):
+    # 1) forward only — scalar carry accumulates both outputs
+    def fwd(c, variables, img):
         logits, score = model.apply(variables, img, with_score_map=True)
-        # keep both outputs live; fold into a same-shape carry
-        return img + (jnp.sum(logits) * 0 + jnp.sum(score) * 0
-                      ).astype(img.dtype)
+        return c + jnp.sum(logits.astype(jnp.float32)) \
+            + jnp.sum(score.astype(jnp.float32))
 
-    rows["fwd_ms"] = timed_scan(fwd, batch["image"], variables)
+    rows["fwd_ms"] = timed_scan(fwd, jnp.zeros(()), variables,
+                                batch["image"], tag="fwd")
 
-    # 2) fwd + bwd of the full loss (no optimizer update)
-    def fwdbwd(tr, frozen, model_state, batch):
-        def loss_of(trainable):
-            return task._loss(trainable, model_state, frozen, batch,
-                              jax.random.PRNGKey(0))[0]
-        grads = jax.grad(loss_of)(tr)
-        return jax.tree_util.tree_map(lambda a, b: a + 0 * b, tr, grads)
+    # 2) fwd + bwd — scalar carry accumulates the full grad-tree sum
+    def loss_of(tr, model_state, frozen, batch):
+        return task._loss(tr, model_state, frozen, batch,
+                          jax.random.PRNGKey(0))[0]
 
-    rows["fwd_bwd_ms"] = timed_scan(fwdbwd, state.trainable, frozen,
-                                    state.model_state, batch)
+    def fwdbwd(c, tr, model_state, frozen, batch):
+        loss, grads = jax.value_and_grad(loss_of)(tr, model_state, frozen,
+                                                  batch)
+        return c + loss + tree_sum(grads)
 
-    # 3) loss-side only: CE + score-map resize at fixed model outputs
+    rows["fwd_bwd_ms"] = timed_scan(fwdbwd, jnp.zeros(()), state.trainable,
+                                    state.model_state, frozen, batch,
+                                    tag="fwd_bwd")
+
+    # 3) fwd + bwd + optimizer — carry the REAL (params, opt_state)
+    def fwdbwd_opt(carry, model_state, frozen, batch):
+        import optax
+        tr, opt = carry
+        _, grads = jax.value_and_grad(loss_of)(tr, model_state, frozen,
+                                               batch)
+        updates, opt = task.tx.update(grads, opt, tr)
+        return optax.apply_updates(tr, updates), opt
+
+    rows["fwd_bwd_opt_ms"] = timed_scan(
+        fwdbwd_opt, (state.trainable, state.opt_state), state.model_state,
+        frozen, batch, tag="fwd_bwd_opt")
+
+    # 4) loss-side only at fixed model outputs
     logits, score = jax.jit(
         lambda v, x: model.apply(v, x, with_score_map=True))(
             variables, batch["image"])
 
-    def loss_only(lg, labels):
-        l, s = lg
+    def loss_only(c, logits, score, labels):
         val, grads = jax.value_and_grad(
             lambda l, s: denseclip_losses(l, s, labels, tau=cfg.tau,
                                           identity_weight=cfg.identity_weight
-                                          )["loss"], argnums=(0, 1))(l, s)
-        return (l + grads[0] * 0, s + grads[1] * 0)
+                                          )["loss"], argnums=(0, 1))(
+            logits + c.astype(logits.dtype), score)
+        return c + val + jnp.sum(grads[0].astype(jnp.float32)) \
+            + jnp.sum(grads[1].astype(jnp.float32))
 
-    rows["loss_only_ms"] = timed_scan(loss_only, (logits, score),
-                                      batch["label"])
+    rows["loss_only_ms"] = timed_scan(loss_only, jnp.zeros(()), logits,
+                                      score, batch["label"],
+                                      tag="loss_only")
 
-    # 4) the full train step (compile via the task's own jit path)
-    import tunevlseg_tpu.parallel.mesh as mesh_lib
-    mesh = mesh_lib.make_mesh()
-    train, _ = task.compile_steps(mesh)
-    st = state
-    st, m = train(st, frozen, batch)
-    float(m["loss"])
-    ts = []
-    for _ in range(WINDOWS):
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            st, m = train(st, frozen, batch)
-        float(m["loss"])
-        ts.append((time.perf_counter() - t0) / ITERS * 1e3)
-    rows["step_ms"] = float(np.median(ts))
+    # 5) metrics at fixed logits
+    def metr(c, logits, labels):
+        return c + pixel_accuracy(logits + c.astype(logits.dtype), labels)
 
-    rows["opt_residual_ms"] = round(rows["step_ms"] - rows["fwd_bwd_ms"], 2)
+    rows["metrics_ms"] = timed_scan(metr, jnp.zeros(()), logits,
+                                    batch["label"], tag="metrics")
+
+    # the full step (launch-amortized) is measured by
+    # `dcbench.py --train` (scan=5): PERF_r04/dcbench_train_scan.log
     rows = {k: round(v, 2) for k, v in rows.items()}
     rows.update(batch=B, img=IMG)
     print(json.dumps(rows), flush=True)

@@ -42,10 +42,18 @@ def cross_entropy_seg(logits: jnp.ndarray, labels: jnp.ndarray,
     avg_non_ignore=False averaging quirk."""
     valid = labels != ignore_index
     safe = jnp.where(valid, labels, 0)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)
-    nll = -jnp.take_along_axis(logp, safe[:, None].astype(jnp.int32),
-                               axis=1)[:, 0]
-    nll = jnp.where(valid, nll, 0.0)
+    x = logits.astype(jnp.float32)
+    # nll = logsumexp - x[label], with the label pick as a where/iota
+    # SELECT rather than take_along_axis: the gather (and its scatter
+    # transpose in backward) over the class axis of a (B, K, H, W) f32
+    # tensor dominated the whole DenseCLIP train step on TPU — the CE
+    # side measured 163 ms of a 253 ms step before this rewrite
+    # (PERF_r04/profile_denseclip2.log). The select's backward is a pure
+    # elementwise mask. Numerics identical (exact pick either way).
+    lse = jax.scipy.special.logsumexp(x, axis=1)
+    onehot = safe[:, None] == jnp.arange(x.shape[1])[None, :, None, None]
+    x_lab = jnp.sum(jnp.where(onehot, x, 0.0), axis=1)
+    nll = jnp.where(valid, lse - x_lab, 0.0)
     denom = jnp.where(avg_non_ignore,
                       jnp.maximum(valid.sum(), 1).astype(jnp.float32),
                       jnp.float32(labels.size))

@@ -45,6 +45,11 @@ def main():
                          "ANY alpha — the device crop-resize branch covers "
                          "alpha<1; measured 3.4 imgs/s at the reference's "
                          "alpha=0.95 vs 0.015 for the host crop loop)")
+    ap.add_argument("--pipeline", type=int, default=0, metavar="DEPTH",
+                    help="with --fused: keep DEPTH launches in flight "
+                         "(predict_fused_many) so the ~30ms remote dispatch "
+                         "+ per-image host sync overlaps device compute; "
+                         "0 = sequential predict_fused")
     args = ap.parse_args()
 
     from tunevlseg_tpu.models.clip.config import CLIPSegConfig
@@ -97,18 +102,26 @@ def main():
     np.asarray(out)
 
     t0 = time.perf_counter()
-    for i in range(args.images):
-        out = call(images[i % len(images)], ids, amask)
-    np.asarray(out)
+    if args.fused and args.pipeline > 0:
+        items = ({"image": images[i % len(images)], "input_ids": ids,
+                  "attention_mask": amask} for i in range(args.images))
+        for out in ris.predict_fused_many(items, depth=args.pipeline):
+            pass
+    else:
+        for i in range(args.images):
+            out = call(images[i % len(images)], ids, amask)
+        np.asarray(out)
     dt = time.perf_counter() - t0
     ips = args.images / dt
     print(json.dumps({
         "metric": f"zsseg_imgs_per_sec_alpha{args.alpha}"
-                  + ("_fused" if args.fused else ""),
+                  + ("_fused" if args.fused else "")
+                  + (f"_pipe{args.pipeline}" if args.pipeline else ""),
         "value": round(ips, 4),
         "unit": "imgs/s",
         "ms_per_image": round(1e3 * dt / args.images, 1),
         "n_devices": args.n_devices,
+        "pipeline_depth": args.pipeline,
     }), flush=True)
 
 

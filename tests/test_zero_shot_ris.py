@@ -312,6 +312,19 @@ def test_zero_shot_ris_end_to_end(tmp_path):
     fused95 = ris_a95.predict_fused(image, ids, mask)
     np.testing.assert_array_equal(fused95, ref95)
 
+    # pipelined generator (depth in-flight launches) == sequential
+    # predict_fused, same order; result count matches item count
+    imgs = [image,
+            rng.uniform(0, 255, (3, 64, 64)).astype(np.float32),
+            rng.uniform(0, 255, (3, 64, 64)).astype(np.float32)]
+    seq = [ris_a95.predict_fused(im, ids, mask) for im in imgs]
+    items = ({"image": im, "input_ids": ids, "attention_mask": mask}
+             for im in imgs)
+    piped = list(ris_a95.predict_fused_many(items, depth=2))
+    assert len(piped) == len(seq)
+    for a, b in zip(piped, seq):
+        np.testing.assert_array_equal(a, b)
+
     # fused cache WRITING: must produce npz files the read_cache (model-
     # free sweep) path consumes to the identical result
     fused_cache = tmp_path / "fused_cache"

@@ -199,18 +199,30 @@ def _run(cfg: dict) -> dict:
     # fused path saves the same npz files from its on-device intermediates.
     use_fused = (cfg["model"].get("fused", "auto") != "off"
                  and not ris.read_cache)
-    call = ris.predict_fused if use_fused else ris
+    n = len(dataset) if limit is None else min(limit, len(dataset))
+    from collections import deque
+    masks: deque = deque()  # holds ≤ pipeline_depth+1 gt masks in flight
+
+    def items():
+        for i in range(n):
+            item = dataset[i]
+            masks.append(item["mask"])
+            yield item
+
     if use_fused:
         log.info("using the fused single-launch path%s",
                  " (writing feature cache)" if ris.write_cache else "")
-    for i in range(len(dataset)):
-        if limit is not None and i >= limit:
-            break
-        item = dataset[i]
-        pred = call(item["image"], item["input_ids"],
-                    item["attention_mask"], cache_name=item["cache_name"])
+        # pipelined: up to `pipeline_depth` launches in flight — the metric
+        # update / logging for image i overlaps the device computing i+1
+        preds = ris.predict_fused_many(
+            items(), depth=int(cfg["model"].get("pipeline_depth", 2)))
+    else:
+        preds = (ris(item["image"], item["input_ids"],
+                     item["attention_mask"], cache_name=item["cache_name"])
+                 for item in items())
+    for i, pred in enumerate(preds):
         state = update_state(state, jnp.asarray(pred[:1]),
-                             jnp.asarray(item["mask"][None]), threshold)
+                             jnp.asarray(masks.popleft()[None]), threshold)
         if (i + 1) % 25 == 0:
             metric_logger.log(compute(state), i + 1, prefix="running_")
 

@@ -31,6 +31,7 @@ from flax import linen as nn
 from tunevlseg_tpu.models.clip.config import CLIPTextConfig
 from tunevlseg_tpu.nn.attention import causal_bias, padding_bias
 from tunevlseg_tpu.nn.layers import PreNormEncoderLayer
+from tunevlseg_tpu.parallel import activation_sharding
 
 Dtype = Any
 
@@ -133,8 +134,12 @@ class CLIPTextTower(nn.Module):
                 mask = extend_text_mask(mask, num_ctx, c.max_position_embeddings, 1)
             bias = bias + padding_bias(mask, jnp.float32)
 
+        # sequence-parallel residual stream (no-op unless enabled): shard the
+        # LN/residual/ctx-splice regions over the model axis so GSPMD splits
+        # the per-block TP all-reduce into reduce-scatter + all-gather.
+        x = activation_sharding.constrain(x)
         for i, layer in enumerate(self.layers, start=1):
-            x = layer(x, bias)
+            x = activation_sharding.constrain(layer(x, bias))
             if text_ctx is not None and i < prompt_depth:
                 ctx_i = text_ctx[i]
                 if ctx_i.ndim == 2:

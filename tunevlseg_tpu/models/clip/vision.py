@@ -28,6 +28,7 @@ from flax import linen as nn
 from tunevlseg_tpu.models.clip.config import CLIPVisionConfig
 from tunevlseg_tpu.nn.layers import PreNormEncoderLayer
 from tunevlseg_tpu.ops.image import resize_2d
+from tunevlseg_tpu.parallel import activation_sharding
 
 Dtype = Any
 
@@ -171,12 +172,16 @@ class CLIPVisionTower(nn.Module):
         kv_valid = s_real if s_run is not None else None
 
         x = self.pre_layernorm(x)
+        # sequence-parallel residual stream (no-op unless enabled): shard the
+        # LN/residual/ctx-write regions over the model axis so GSPMD splits
+        # the per-block TP all-reduce into reduce-scatter + all-gather.
+        x = activation_sharding.constrain(x)
 
         hidden_states = [x[:, :s_real]]
         max_layer = (max(extract_layers) if (early_exit and extract_layers)
                      else len(self.layers))
         for i, layer in enumerate(self.layers, start=1):
-            x = layer(x, kv_valid=kv_valid)
+            x = activation_sharding.constrain(layer(x, kv_valid=kv_valid))
             if visual_ctx is not None and i < prompt_depth:
                 ctx_i = jnp.broadcast_to(visual_ctx[i][None],
                                          (x.shape[0], *visual_ctx.shape[1:]))

@@ -390,6 +390,7 @@ def _run(cfg: dict) -> dict:
         log_image_num=t.get("log_image_num", 4),
         steps_per_execution=t.get("steps_per_execution", 1),
         fsdp=bool(t.get("fsdp", False)),
+        seq_shard=bool(t.get("seq_shard", False)),
         exp_name=cfg.get("exp_name"), project=t.get("project"),
         tags=tuple(cfg.get("tags") or ()))
     save_composed_config(cfg, trainer.output_dir)

@@ -126,6 +126,12 @@ class Trainer:
     # data axis (parallel/sharding_rules.py:fsdp_shardings). Composes with
     # model_parallel>1 (tp rules keep their axis; fsdp fills the rest).
     fsdp: bool = False
+    # Megatron-style sequence parallelism: with model_parallel>1, shard the
+    # towers' residual stream over the model axis between blocks
+    # (parallel/activation_sharding.py) — GSPMD splits the TP all-reduces
+    # into reduce-scatter + all-gather and LN/residual activation memory
+    # drops by tp. No-op on a tp=1 mesh.
+    seq_shard: bool = False
 
     def __post_init__(self):
         from tunevlseg_tpu.utils.logging import MultiLogger
@@ -155,6 +161,11 @@ class Trainer:
         if self._train_step is None:
             from tunevlseg_tpu.parallel import sharding_rules
             tp = dict(self.mesh.shape).get(mesh_lib.MODEL_AXIS, 1) > 1
+            if self.seq_shard and tp:
+                # read at TRACE time by the tower hooks; jit traces lazily,
+                # so this stays enabled for the life of the compiled steps
+                from tunevlseg_tpu.parallel import activation_sharding
+                activation_sharding.enable(self.mesh)
             if self.fsdp:
                 base = (sharding_rules.tp_param_specs(frozen, self.mesh)
                         if tp else None)

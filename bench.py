@@ -35,6 +35,7 @@ import argparse
 import json
 import os
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -286,6 +287,26 @@ def main() -> None:
     import jax
     jax.devices()  # the outage failure mode: this call hangs
     timer.cancel()
+
+    if args.model == "all":
+        # DenseCLIP's train step lives in its own task (decode CE +
+        # identity aux, paramwise AdamW — training/denseclip_task.py) with
+        # label-map batches, so it benches via its dedicated harness; a
+        # subprocess keeps this process's jit cache/memory clean. Runs
+        # FIRST so the flagship line stays last for the tail-parse.
+        import subprocess
+        import sys
+        r = subprocess.run(
+            [sys.executable, str(Path(__file__).parent / "scripts" /
+                                 "dcbench.py"), "--train"],
+            capture_output=True, text=True)
+        lines = [l for l in r.stdout.splitlines()
+                 if l.startswith("{")]
+        if lines:
+            print(lines[-1], flush=True)
+        else:
+            print(f"# dcbench --train failed (rc={r.returncode}): "
+                  f"{r.stderr.strip()[-300:]}", flush=True)
 
     for name in families:
         print(json.dumps(bench_one(name, args)), flush=True)

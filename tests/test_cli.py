@@ -386,27 +386,34 @@ def test_image_dir_eval_cycle(tmp_path):
 
 
 def test_train_with_tensor_parallel_and_config_dump(synth_root, tmp_path):
-    """trainer.model_parallel=2 runs the whole fit/test cycle with the frozen
-    tower sharded over the model mesh axis; the composed config is saved."""
+    """trainer.model_parallel=2 (+ seq_shard sequence parallelism) runs the
+    whole fit/test cycle with the frozen tower sharded over the model mesh
+    axis; the composed config is saved."""
     from tunevlseg_tpu import train as train_mod
+    from tunevlseg_tpu.parallel import activation_sharding
 
     out = tmp_path / "logs"
-    result = train_mod.main([
-        "ds_name=kvasir_polyp",
-        f"paths.data_root={synth_root}",
-        f"paths.log_dir={out}",
-        f"vocab_path={VOCAB}",
-        "img_size=32",
-        "+tiny_model=true",
-        "data.batch_size=4",
-        "data.num_workers=2",
-        "trainer=debug",
-        "trainer.max_epochs=1",
-        "trainer.n_devices=8",
-        "trainer.model_parallel=2",
-        "+trainer.loggers=[jsonl,csv]",
-        "exp_name=tp_smoke",
-    ])
+    try:
+        result = train_mod.main([
+            "ds_name=kvasir_polyp",
+            f"paths.data_root={synth_root}",
+            f"paths.log_dir={out}",
+            f"vocab_path={VOCAB}",
+            "img_size=32",
+            "+tiny_model=true",
+            "data.batch_size=4",
+            "data.num_workers=2",
+            "trainer=debug",
+            "trainer.max_epochs=1",
+            "trainer.n_devices=8",
+            "trainer.model_parallel=2",
+            "trainer.seq_shard=true",
+            "+trainer.loggers=[jsonl,csv]",
+            "exp_name=tp_smoke",
+        ])
+        assert activation_sharding.is_enabled()  # CLI flag reached the gate
+    finally:
+        activation_sharding.disable()
     assert "test_dice" in result and 0 <= result["test_dice"] <= 1
     assert np.isfinite(result["test_loss"])  # NaN smoke guard (tiny-vocab bug, r3)
     run_dir = out / "train" / "tp_smoke"

@@ -39,7 +39,13 @@ def parse_args(argv=None):
     ap.add_argument("--iters", type=int, default=80_000)
     ap.add_argument("--warmup-iters", type=int, default=1500)
     ap.add_argument("--batch", type=int, default=32)
-    ap.add_argument("--crop", type=int, default=512)
+    ap.add_argument("--backbone", choices=("rn50", "vitb16"),
+                    default="rn50",
+                    help="rn50 = denseclip_fpn_res50_512x512_80k recipe; "
+                         "vitb16 = denseclip_fpn_vit-b_640x640_80k (crop "
+                         "defaults to 640, drop_path 0.1)")
+    ap.add_argument("--crop", type=int, default=None,
+                    help="train crop (default: the recipe's, 512/640)")
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--weight-decay", type=float, default=1e-4)
     ap.add_argument("--val-every", type=int, default=4000)
@@ -120,7 +126,11 @@ def main(argv=None):
     rng = np.random.default_rng(args.seed)
 
     if args.tiny:
-        cfg = DenseCLIPConfig.tiny(head_dropout=0.0)
+        cfg = (DenseCLIPConfig.tiny_vit(head_dropout=0.0)
+               if args.backbone == "vitb16"
+               else DenseCLIPConfig.tiny(head_dropout=0.0))
+    elif args.backbone == "vitb16":
+        cfg = DenseCLIPConfig.vitb16()  # ViT-B/16 640², the reference recipe
     else:
         cfg = DenseCLIPConfig()  # RN50 512², the reference recipe
 
@@ -148,7 +158,9 @@ def main(argv=None):
         # ImageNet stats on uint8 batches (the reference's img_norm_cfg)
         image_stats=((0.485, 0.456, 0.406), (0.229, 0.224, 0.225)))
 
-    crop = 64 if args.tiny else args.crop
+    crop = (64 if args.tiny
+            else args.crop if args.crop is not None
+            else cfg.input_resolution)
     if args.synthetic:
         n = max(args.batch, 8)
         yy = np.mgrid[:crop, :crop][0]

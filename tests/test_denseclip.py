@@ -500,3 +500,48 @@ def test_train_denseclip_driver_smoke(tmp_path):
     assert np.isfinite(final["loss"])
     assert (tmp_path / "dc" / "checkpoints" / "last").exists()
     assert (tmp_path / "dc" / "metrics.jsonl").exists()
+
+    # ViT-backbone variant (denseclip_fpn_vit-b_640x640_80k recipe surface)
+    final_vit = mod.main(["--synthetic", "--tiny", "--backbone", "vitb16",
+                          "--iters", "8", "--batch", "8",
+                          "--warmup-iters", "2", "--lr", "3e-3",
+                          "--val-every", "8", "--log-every", "4",
+                          "--out", str(tmp_path / "dcv")])
+    assert np.isfinite(final_vit["loss"])
+
+
+def test_denseclip_vit_train_step_with_drop_path(rng):
+    """Training through the ViT backbone exercises stochastic depth
+    (DropPath, reference drop_path_rate=0.1 in the vit recipe): the task
+    must thread the dropout rng and produce finite grads/updates."""
+    import jax
+
+    from tunevlseg_tpu.models.denseclip.model import (DenseCLIP,
+                                                      DenseCLIPConfig)
+    from tunevlseg_tpu.parallel import mesh as mesh_lib
+    from tunevlseg_tpu.training.denseclip_task import DenseCLIPTask
+
+    cfg = DenseCLIPConfig.tiny_vit(head_dropout=0.0, drop_path_rate=0.25)
+    ids = rng.integers(1, cfg.vocab_size - 1,
+                       (cfg.num_classes, cfg.text_context_length)
+                       ).astype(np.int32)
+    model = DenseCLIP(cfg, class_token_ids=ids)
+    task = DenseCLIPTask(model, learning_rate=1e-3, total_iters=10,
+                         warmup_iters=2)
+    batch = {"image": rng.integers(0, 255, (8, 3, 64, 64), dtype=np.uint8)
+                         .astype(np.float32),
+             "label": rng.integers(0, cfg.num_classes,
+                                   (8, 64, 64)).astype(np.int32)}
+    mesh = mesh_lib.make_mesh()
+    state, frozen = task.init(jax.random.PRNGKey(0), batch)
+    ctx0 = np.asarray(state.trainable["contexts"])
+    state = mesh_lib.replicate(mesh, state)
+    frozen = mesh_lib.replicate(mesh, frozen)
+    train, _ = task.compile_steps(mesh)
+    sharded = mesh_lib.shard_batch(mesh, batch)
+    losses = []
+    for _ in range(3):
+        state, metrics = train(state, frozen, sharded)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses), losses
+    assert not np.allclose(np.asarray(state.trainable["contexts"]), ctx0)

@@ -47,23 +47,27 @@ class DenseCLIPConfig:
     vision_width: int = 64
     input_resolution: int = 512
     embed_dim: int = 1024              # text/visual joint dim
-    # text encoder
+    # text encoder — the published ADE-150 80k recipe
+    # (denseclip_fpn_res50_512x512_80k.py): class names tokenized to a
+    # 5-token budget (model context_length=5, denseclip.py:99-100), learned
+    # context = text_encoder.context_length - budget = 13 - 5 = 8
+    # (denseclip.py:103-104)
     vocab_size: int = 49408
-    text_context_length: int = 13      # class-token budget
+    text_context_length: int = 5       # class-token budget
     context_length: int = 8            # learned context tokens
     transformer_width: int = 512
     transformer_heads: int = 8
     transformer_layers: int = 12
-    # context decoder
+    # context decoder (the 80k recipe overrides the base's 6 layers to 3)
     decoder_width: int = 256
     decoder_heads: int = 4
-    decoder_layers: int = 6
+    decoder_layers: int = 3
     decoder_dropout: float = 0.1
-    # segmentation glue
+    # segmentation glue (FPNHead channels=256 per _base_/models/denseclip_r50.py)
     num_classes: int = 150
     score_concat_index: int = 3
     fpn_out_channels: int = 256
-    head_channels: int = 128
+    head_channels: int = 256
     head_dropout: float = 0.1          # decode_head dropout_ratio
     # training (denseclip_r50.py identity_head loss_weight; denseclip.py:42)
     tau: float = 0.07
@@ -100,6 +104,21 @@ class DenseCLIPConfig:
                     score_concat_index=2)
         base.update(kw)
         return DenseCLIPConfig.tiny(**base)
+
+    @staticmethod
+    def vitb16(**kw) -> "DenseCLIPConfig":
+        """The ViT-B/16 640² ADE-150 recipe
+        (denseclip_fpn_vit-b_640x640_80k.py): width 768, 12 layers, stages
+        from blocks (3,5,7,11), drop_path 0.1, joint dim 512, score map
+        concatenated onto stage 2, context decoder 3 layers; text encoder
+        and token budgets identical to the RN50 recipe."""
+        base = dict(backbone_type="vit", patch_size=16, vit_width=768,
+                    vit_layers=12, vit_heads=12,
+                    vit_out_indices=(3, 5, 7, 11), drop_path_rate=0.1,
+                    input_resolution=640, embed_dim=512,
+                    score_concat_index=2)
+        base.update(kw)
+        return DenseCLIPConfig(**base)
 
 
 class DenseCLIPAttentionPool(nn.Module):

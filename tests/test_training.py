@@ -540,8 +540,12 @@ def test_accumulate_grad_batches_matches_full_batch(cpu_mesh, rng):
 
 
 def test_remat_matches_plain_step(cpu_mesh, rng):
-    """remat=True (jax.checkpoint around the loss) must not change the
-    numbers — it only changes WHEN activations are (re)computed."""
+    """remat=True (PER-LAYER checkpointing via nn/remat.py — the monolithic
+    loss-level jax.checkpoint was measured to save nothing, see
+    PERF_r04/membench.json) must not change the numbers — it only changes
+    WHEN activations are (re)computed. Also pins that the lifted nn.remat
+    wrapper leaves the param tree (names/shapes) untouched, so checkpoints
+    are interchangeable between remat and plain runs."""
     cfg = CLIPSegConfig.tiny()
 
     def make(remat):
@@ -574,6 +578,33 @@ def test_remat_matches_plain_step(cpu_mesh, rng):
                     jax.tree_util.tree_leaves(s1.trainable)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=1e-5)
+    assert (jax.tree_util.tree_structure(s0.trainable)
+            == jax.tree_util.tree_structure(s1.trainable))
+
+
+def test_remat_layers_env_flag_matches_plain(rng, monkeypatch):
+    """The raw TUNEVLSEG_REMAT_LAYERS=1 flag (read at trace time inside the
+    towers) is numerics- and param-tree-identical to the plain build —
+    covers inference/forward paths that never go through task.remat."""
+    cfg = CLIPSegConfig.tiny()
+    model = CLIPSegForSegmentation(
+        cfg, learner=CoOpLearner(prompt_depth=2, num_context=4,
+                                 context_dim=cfg.text.hidden_size),
+        additive_mode="residual")
+    batch = synthetic_batch(rng)
+    params = model.init(jax.random.PRNGKey(0), batch["input_ids"],
+                        batch["image"], batch["attention_mask"])
+    plain = np.asarray(model.apply(params, batch["input_ids"],
+                                   batch["image"], batch["attention_mask"]))
+    monkeypatch.setenv("TUNEVLSEG_REMAT_LAYERS", "1")
+    params2 = model.init(jax.random.PRNGKey(0), batch["input_ids"],
+                         batch["image"], batch["attention_mask"])
+    assert (jax.tree_util.tree_structure(params2)
+            == jax.tree_util.tree_structure(params))
+    rematted = np.asarray(model.apply(params, batch["input_ids"],
+                                      batch["image"],
+                                      batch["attention_mask"]))
+    np.testing.assert_allclose(rematted, plain, atol=1e-6, rtol=1e-6)
 
 
 def _fsdp_vs_dp_states(rng, model_parallel=1):

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from tunevlseg_tpu.models.clip.config import CLIPTextConfig
+from tunevlseg_tpu.nn import remat
 from tunevlseg_tpu.nn.attention import causal_bias, padding_bias
 from tunevlseg_tpu.nn.layers import PreNormEncoderLayer
 from tunevlseg_tpu.parallel import activation_sharding
@@ -139,7 +140,8 @@ class CLIPTextTower(nn.Module):
         # the per-block TP all-reduce into reduce-scatter + all-gather.
         x = activation_sharding.constrain(x)
         for i, layer in enumerate(self.layers, start=1):
-            x = activation_sharding.constrain(layer(x, bias))
+            x = activation_sharding.constrain(
+                remat.layer_call(layer, x, bias))
             if text_ctx is not None and i < prompt_depth:
                 ctx_i = text_ctx[i]
                 if ctx_i.ndim == 2:

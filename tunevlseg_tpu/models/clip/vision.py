@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from tunevlseg_tpu.models.clip.config import CLIPVisionConfig
+from tunevlseg_tpu.nn import remat
 from tunevlseg_tpu.nn.layers import PreNormEncoderLayer
 from tunevlseg_tpu.ops.image import resize_2d
 from tunevlseg_tpu.parallel import activation_sharding
@@ -181,7 +182,8 @@ class CLIPVisionTower(nn.Module):
         max_layer = (max(extract_layers) if (early_exit and extract_layers)
                      else len(self.layers))
         for i, layer in enumerate(self.layers, start=1):
-            x = activation_sharding.constrain(layer(x, kv_valid=kv_valid))
+            x = activation_sharding.constrain(
+                remat.layer_call(layer, x, kv_valid=kv_valid))
             if visual_ctx is not None and i < prompt_depth:
                 ctx_i = jnp.broadcast_to(visual_ctx[i][None],
                                          (x.shape[0], *visual_ctx.shape[1:]))

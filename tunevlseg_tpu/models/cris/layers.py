@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from tunevlseg_tpu.nn import remat
 from tunevlseg_tpu.nn.attention import dot_product_attention
 from tunevlseg_tpu.nn.conv import Conv2d, conv2d
 from tunevlseg_tpu.models.cris.resnet import BatchNorm1d, BatchNorm2d, avg_pool_nchw
@@ -245,12 +246,13 @@ class CRISTransformerDecoder(nn.Module):
                               ((0, 0), (0, s_run - s_real), (0, 0)))
             kv_valid = s_real
         for i in range(self.num_layers):
-            vis = CRISDecoderLayer(
+            layer = CRISDecoderLayer(
                 self.d_model, self.num_heads, self.dim_feedforward,
-                self.dropout, dtype=self.dtype, name=f"layers_{i}")(
-                    vis, txt, vis_pos.astype(vis.dtype),
-                    txt_pos.astype(vis.dtype), key_pad_bias, deterministic,
-                    kv_valid=kv_valid)
+                self.dropout, dtype=self.dtype, name=f"layers_{i}")
+            vis = remat.layer_call(
+                layer, vis, txt, vis_pos.astype(vis.dtype),
+                txt_pos.astype(vis.dtype), key_pad_bias,
+                deterministic=deterministic, kv_valid=kv_valid)
         vis = vis[:, :s_real]
         vis = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(vis)
         return vis.transpose(0, 2, 1).reshape(b, c, h, w)

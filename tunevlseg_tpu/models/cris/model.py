@@ -34,6 +34,7 @@ from tunevlseg_tpu.models.cris.layers import (CRISTransformerDecoder, FPN,
                                               Projector)
 from tunevlseg_tpu.models.cris.resnet import ModifiedResNet
 from tunevlseg_tpu.models.clip.text import extend_text_mask, splice_text_context
+from tunevlseg_tpu.nn import remat
 from tunevlseg_tpu.models.prompt.learners import BasePromptLearner, PromptStacks
 from tunevlseg_tpu.nn.attention import causal_bias, padding_bias
 from tunevlseg_tpu.nn.conv import Conv2d
@@ -120,9 +121,9 @@ class CLIPTextTransformer(nn.Module):
                                        jnp.float32)
 
         for i in range(c.transformer_layers):
-            x = PreNormEncoderLayer(
+            x = remat.layer_call(PreNormEncoderLayer(
                 c.transformer_heads, c.transformer_width * 4, "quick_gelu",
-                1e-5, dtype=self.dtype, name=f"resblocks_{i}")(x, bias)
+                1e-5, dtype=self.dtype, name=f"resblocks_{i}"), x, bias)
             # CRIS quirk: 0-based overwrite AFTER block i (coop_cris.py:128-143)
             if text_ctx is not None and i < prompt_depth:
                 ctx_i = text_ctx[i]

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from tunevlseg_tpu.nn import remat
 from tunevlseg_tpu.nn.attention import dot_product_attention
 from tunevlseg_tpu.nn.conv import Conv2d, conv2d
 from tunevlseg_tpu.ops.conv_pallas import (FlatSpec, conv_flat, flat_begin,
@@ -405,9 +406,13 @@ class ModifiedResNet(nn.Module):
                 zip((w, w * 2, w * 4, w * 8), self.layers), start=1):
             stride = 1 if stage == 1 else 2
             for b in range(blocks):
-                x = Bottleneck(inplanes, planes, stride if b == 0 else 1,
-                               ura, layout=lo, dtype=self.dtype,
-                               name=f"layer{stage}_{b}")(x)
+                block = Bottleneck(inplanes, planes, stride if b == 0 else 1,
+                                   ura, layout=lo, dtype=self.dtype,
+                                   name=f"layer{stage}_{b}")
+                # per-block remat only with frozen BN: a remat'd block must
+                # not write batch_stats (prompt-tuning CRIS freezes BN; the
+                # e2e bn-train path keeps the plain call)
+                x = remat.layer_call(block, x) if ura else block(x)
                 inplanes = planes * Bottleneck.EXPANSION
             feats.append(x)
 

@@ -37,6 +37,7 @@ from tunevlseg_tpu.models.clip.config import CLIPTextConfig, CLIPVisionConfig
 from tunevlseg_tpu.models.clip.text import CLIPTextTower
 from tunevlseg_tpu.models.clip.vision import CLIPVisionTower
 from tunevlseg_tpu.models.cris.layers import sincos_pos_1d
+from tunevlseg_tpu.nn import remat
 from tunevlseg_tpu.nn.conv import Conv2d
 from tunevlseg_tpu.nn.layers import ACT2FN, MultiHeadAttention
 from tunevlseg_tpu.ops.image import resize_2d, resize_2d_nhwc
@@ -369,7 +370,8 @@ class TransformerSegmentor(nn.Module):
 
         x = image_embeds
         for layer in self.decoder_layers:
-            x = layer(x, text_embeds, memory_bias, deterministic)
+            x = remat.layer_call(layer, x, text_embeds, memory_bias,
+                                 deterministic=deterministic)
         x = self.decoder_norm(x)
 
         seq = x.shape[1]

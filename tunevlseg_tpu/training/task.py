@@ -184,7 +184,22 @@ class SegmentationTask:
 
     def train_step(self, state: TrainState, frozen, batch):
         rng = jax.random.fold_in(state.rng, state.step)
-        loss_fn = (jax.checkpoint(self._loss) if self.remat else self._loss)
+        if self.remat:
+            # PER-LAYER rematerialization (nn/remat.py): a monolithic
+            # jax.checkpoint around the whole loss was measured to save
+            # nothing (trans_seg b32@352 peak 14.88 -> 15.35 GiB,
+            # PERF_r04/membench.json) because the backward recomputes the
+            # entire forward and then holds the same activation set again;
+            # checkpointing each tower block instead keeps one block's
+            # internals live at a time. The flag is read at trace time
+            # inside the towers, so force it for this trace only.
+            from tunevlseg_tpu.nn import remat as remat_lib
+
+            def loss_fn(*a):
+                with remat_lib.forced(True):
+                    return self._loss(*a)
+        else:
+            loss_fn = self._loss
         (loss, (logits, new_model_state)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.trainable, state.model_state,
                                    frozen, batch, rng)

@@ -25,13 +25,17 @@ import numpy as np  # noqa: E402
 import bench  # noqa: E402
 
 
-def build_variant(env: str, value: str, args, mesh):
+def build_variant(env: str, value: str, args, mesh, batch_override=None):
+    import argparse as _ap
+
     import jax
 
     from tunevlseg_tpu.parallel import mesh as mesh_lib
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     os.environ[env] = value
+    if batch_override is not None:
+        args = _ap.Namespace(**{**vars(args), "batch": batch_override})
     task, _, batch_size, img = bench.build(args.family, args)
     batch = bench.example_batch(batch_size, img)
     state, frozen = task.init(jax.random.PRNGKey(0), batch)
@@ -43,7 +47,7 @@ def build_variant(env: str, value: str, args, mesh):
     sharded = {k: jax.device_put(np.stack([v] * K), stacked_sh)
                for k, v in batch.items()}
     return dict(value=value, train=train, state=state, frozen=frozen,
-                batch=sharded, K=K)
+                batch=sharded, K=K, batch_size=batch_size)
 
 
 def warm(v, n=3):
@@ -76,6 +80,10 @@ def main():
     ap.add_argument("--windows", type=int, default=6)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--batch-a", type=int, default=None,
+                    help="per-variant batch override (e.g. remat buys a "
+                         "bigger batch — compare imgs/s, not steps/s)")
+    ap.add_argument("--batch-b", type=int, default=None)
     ap.add_argument("--img", type=int, default=None)
     ap.add_argument("--strategy", default=None)
     args = ap.parse_args()
@@ -84,9 +92,9 @@ def main():
 
     mesh = mesh_lib.make_mesh(1)
     variants = []
-    for value in (args.a, args.b):
+    for value, b_ovr in ((args.a, args.batch_a), (args.b, args.batch_b)):
         t0 = time.perf_counter()
-        v = build_variant(args.env, value, args, mesh)
+        v = build_variant(args.env, value, args, mesh, batch_override=b_ovr)
         warm(v)
         print(f"# {args.env}={value}: built+compiled+warm in "
               f"{time.perf_counter() - t0:.0f}s", flush=True)
@@ -102,12 +110,16 @@ def main():
                   f"(loss {loss:.4f})", flush=True)
 
     med = {k: float(np.median(v)) for k, v in results.items()}
-    ratios = [b / a for a, b in zip(results[args.a], results[args.b])]
+    ba, bb = variants[0]["batch_size"], variants[1]["batch_size"]
+    ratios = [b * bb / (a * ba) for a, b in zip(results[args.a],
+                                                results[args.b])]
     print(json.dumps({
         "ab": f"{args.family}:{args.env}",
         "a": args.a, "b": args.b,
         "a_steps_per_sec": round(med[args.a], 4),
         "b_steps_per_sec": round(med[args.b], 4),
+        "a_imgs_per_sec": round(med[args.a] * ba, 2),
+        "b_imgs_per_sec": round(med[args.b] * bb, 2),
         "b_over_a_median_paired": round(float(np.median(ratios)), 4),
         "paired_ratios": [round(r, 4) for r in ratios],
         "samples": {k: [round(s, 4) for s in v] for k, v in results.items()},

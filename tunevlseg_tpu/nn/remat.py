@@ -17,6 +17,7 @@ in tests/test_training.py).
 """
 from __future__ import annotations
 
+import contextlib
 import os
 
 from flax import linen as nn
@@ -24,9 +25,6 @@ from flax import linen as nn
 
 def enabled() -> bool:
     return os.environ.get("TUNEVLSEG_REMAT_LAYERS", "0") == "1"
-
-
-import contextlib
 
 
 @contextlib.contextmanager

@@ -59,6 +59,11 @@ def parse_args(argv=None):
                          "steps into one launch (amortizes the ~15 ms "
                          "per-launch dispatch on remote transports — "
                          "PERF_r04/profile_denseclip.log)")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from <out>/checkpoints/last (mmseg "
+                         "--resume-from): restores params + Adam state + "
+                         "the iteration counter; the poly/warmup schedule "
+                         "continues from the restored step")
     ap.add_argument("--synthetic", action="store_true",
                     help="random data (smoke test, no files needed)")
     ap.add_argument("--tiny", action="store_true",
@@ -203,8 +208,16 @@ def main(argv=None):
     args.out.mkdir(parents=True, exist_ok=True)
     ckpt = CheckpointManager(args.out / "checkpoints", monitor="val_acc")
     metrics_path = args.out / "metrics.jsonl"
-    last_t, last_it, last_val = time.perf_counter(), 0, 0
     it = 0
+    if args.resume:
+        if not (ckpt.dir / "last").exists():
+            raise FileNotFoundError(f"--resume: no {ckpt.dir / 'last'}")
+        state = ckpt.restore("last", state)
+        meta = ckpt.load_meta("last")
+        ckpt.best_value = meta.get("best_value")
+        it = int(state.step)  # step increments per train_step (per batch)
+        log.info("resumed at iter %d (best %s)", it, ckpt.best_value)
+    last_t, last_it, last_val = time.perf_counter(), it, it
     while it < args.iters:
         if args.spe > 1:
             group = [next_batch() for _ in range(args.spe)]

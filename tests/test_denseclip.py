@@ -487,6 +487,7 @@ def test_train_denseclip_driver_smoke(tmp_path):
     the reference's mmseg recipe): synthetic tiny run produces finite
     decreasing loss and a checkpoint."""
     import importlib.util
+    import json
 
     spec = importlib.util.spec_from_file_location(
         "train_denseclip", "scripts/train_denseclip.py")
@@ -500,6 +501,20 @@ def test_train_denseclip_driver_smoke(tmp_path):
     assert np.isfinite(final["loss"])
     assert (tmp_path / "dc" / "checkpoints" / "last").exists()
     assert (tmp_path / "dc" / "metrics.jsonl").exists()
+
+    # --resume (mmseg --resume-from): continues from the restored iteration
+    # counter instead of restarting at 0
+    final_r = mod.main(["--synthetic", "--tiny", "--iters", "28",
+                        "--batch", "8", "--warmup-iters", "5",
+                        "--lr", "3e-3", "--val-every", "10",
+                        "--log-every", "5", "--resume",
+                        "--out", str(tmp_path / "dc")])
+    assert np.isfinite(final_r["loss"])
+    iters = [json.loads(ln)["iter"] for ln in
+             (tmp_path / "dc" / "metrics.jsonl").read_text().splitlines()]
+    assert max(iters) == 28
+    # the resumed run logged only NEW iterations (started past 20)
+    assert min(i for i in iters if i > 20) > 20
 
     # ViT-backbone variant (denseclip_fpn_vit-b_640x640_80k recipe surface)
     final_vit = mod.main(["--synthetic", "--tiny", "--backbone", "vitb16",

@@ -770,6 +770,143 @@ def test_sigterm_preemption_saves_resumable_last(cpu_mesh, rng, tmp_path):
     assert signal.getsignal(signal.SIGTERM) == prev_handler
 
 
+def test_step_level_resume_matches_uninterrupted(cpu_mesh, rng, tmp_path,
+                                                 monkeypatch):
+    """Exact mid-epoch resume: preempt deterministically after the FIRST
+    batch of epoch 1, resume from the snapshot, and the final trainable
+    params must be bit-identical to an uninterrupted run — the snapshot's
+    batch_offset makes the resumed epoch replay only its tail (no batch
+    trains twice; deterministic per-epoch shuffle makes the tail the same
+    batches an uninterrupted run would have seen)."""
+    from tunevlseg_tpu.models.presets import build_clipseg
+    from tunevlseg_tpu.training import loop as loop_mod
+
+    cfg = CLIPSegConfig.tiny()
+
+    def make():
+        model, spec = build_clipseg("coop", prompt_depth=2, num_context=4,
+                                    config=cfg)
+        task = SegmentationTask(model, spec, learning_rate=1e-2)
+        batch = synthetic_batch(np.random.default_rng(0))
+        state, frozen = task.init(jax.random.PRNGKey(0), batch)
+        return task, state, frozen
+
+    train_l, val_l = _loader_pair(rng)   # 16 samples / batch 8 = 2 batches
+
+    # uninterrupted 3-epoch run
+    task, state, frozen = make()
+    tr_a = _make_trainer(task, cpu_mesh, tmp_path / "a", max_epochs=3)
+    final_a = tr_a.fit(state, frozen, train_l, val_l)
+
+    # preempt after epoch 1's first batch: preempted() is called once per
+    # consumed group — epoch 0 makes calls 1-2, epoch 1's first batch is
+    # call 3
+    class _FakeWatch:
+        calls = 0
+
+        def install(self):
+            return self
+
+        def uninstall(self):
+            pass
+
+        def preempted(self):
+            _FakeWatch.calls += 1
+            return _FakeWatch.calls >= 3
+
+    monkeypatch.setattr(loop_mod, "_PreemptionWatch", _FakeWatch)
+    task, state, frozen = make()
+    tr_b = _make_trainer(task, cpu_mesh, tmp_path / "b", max_epochs=3)
+    tr_b.fit(state, frozen, train_l, val_l)
+    meta = tr_b.ckpt.load_meta("last")
+    assert meta.get("preempted") is True
+    assert meta["epoch"] == 0          # last COMPLETED epoch
+    assert meta["batch_offset"] == 1   # one batch of epoch 1 consumed
+    monkeypatch.undo()
+
+    # resume: must replay only epoch 1's second batch, then epoch 2
+    task, state2, frozen2 = make()
+    tr_c = _make_trainer(task, cpu_mesh, tmp_path / "b", max_epochs=3)
+    final_c = tr_c.fit(state2, frozen2, train_l, val_l, resume_from="last")
+
+    assert int(final_a.step) == int(final_c.step)
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x),
+                                                   np.asarray(y)),
+        final_a.trainable, final_c.trainable)
+    np.testing.assert_array_equal(np.asarray(final_a.rng),
+                                  np.asarray(final_c.rng))
+
+
+def test_interval_snapshot_hard_kill_resume(cpu_mesh, rng, tmp_path):
+    """trainer.ckpt_every_n_steps writes exactly-resumable mid-epoch
+    snapshots WITHOUT SIGTERM: simulate a hard kill (the train step raises)
+    at epoch 1's second batch; the interval snapshot from its first batch
+    must carry mid_epoch meta with the right batch_offset, and resuming
+    from it must match an uninterrupted run bit-exactly."""
+    import pytest
+
+    from tunevlseg_tpu.models.presets import build_clipseg
+
+    cfg = CLIPSegConfig.tiny()
+
+    def make():
+        model, spec = build_clipseg("coop", prompt_depth=2, num_context=4,
+                                    config=cfg)
+        task = SegmentationTask(model, spec, learning_rate=1e-2)
+        batch = synthetic_batch(np.random.default_rng(0))
+        state, frozen = task.init(jax.random.PRNGKey(0), batch)
+        return task, state, frozen
+
+    train_l, val_l = _loader_pair(rng)   # 2 batches per epoch
+
+    task, state, frozen = make()
+    tr_a = _make_trainer(task, cpu_mesh, tmp_path / "a", max_epochs=3)
+    final_a = tr_a.fit(state, frozen, train_l, val_l)
+
+    class _Boom(Exception):
+        pass
+
+    task, state, frozen = make()
+    orig_compile = task.compile_steps
+    calls = {"n": 0}
+
+    def compile_steps(mesh, fsh=None, ssh=None):
+        train, ev, pred = orig_compile(mesh, fsh, ssh)
+
+        def train_killed(*a):
+            calls["n"] += 1
+            if calls["n"] >= 4:        # epoch 1, second batch
+                raise _Boom()
+            return train(*a)
+
+        return train_killed, ev, pred
+
+    task.compile_steps = compile_steps
+    tr_b = _make_trainer(task, cpu_mesh, tmp_path / "b", max_epochs=3,
+                         ckpt_every_n_steps=1)
+    with pytest.raises(_Boom):
+        tr_b.fit(state, frozen, train_l, val_l)
+    # flush the staged-but-unpromoted snapshot the way a surviving process
+    # at the next drain would (durability timing is inherent to async; the
+    # meta/resume logic is what this test pins)
+    tr_b.ckpt.wait()
+    meta = tr_b.ckpt.load_meta("last")
+    assert meta.get("mid_epoch") is True
+    assert meta["epoch"] == 0          # last COMPLETED epoch
+    assert meta["batch_offset"] == 1   # snapshot after epoch 1's 1st batch
+
+    task, state2, frozen2 = make()
+    tr_c = _make_trainer(task, cpu_mesh, tmp_path / "b", max_epochs=3)
+    final_c = tr_c.fit(state2, frozen2, train_l, val_l, resume_from="last")
+
+    assert int(final_a.step) == int(final_c.step)
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x),
+                                                   np.asarray(y)),
+        final_a.trainable, final_c.trainable)
+
+
 def test_checkpoint_promotion_crash_recovery(rng, tmp_path):
     """The promote order (old->aside, staging->tag, meta, delete aside) must
     be crash-recoverable at its one gap: tag absent with .old- present is

@@ -70,6 +70,7 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.epoch = 0
+        self.start_batch = 0
         # multi-host: this process loads every num_shards-th sample
         # (DistributedSampler semantics — wraparound padding keeps every
         # shard, and therefore every process's batch count, identical)
@@ -85,8 +86,13 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def set_epoch(self, epoch: int) -> None:
+    def set_epoch(self, epoch: int, start_batch: int = 0) -> None:
+        """Position the loader at (epoch, start_batch). `start_batch` skips
+        that many leading batches of the epoch's deterministic order —
+        step-level resume after preemption replays the tail of an
+        interrupted epoch without re-training its consumed batches."""
         self.epoch = epoch
+        self.start_batch = start_batch
 
     def _order(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))
@@ -127,7 +133,7 @@ class DataLoader:
 
             with ThreadPoolExecutor(self.num_workers) as pool:
                 pending: deque = deque()
-                b_next = 0
+                b_next = min(self.start_batch, nb)
                 try:
                     while pending or b_next < nb:
                         while b_next < nb and len(pending) < window:

@@ -391,6 +391,7 @@ def _run(cfg: dict) -> dict:
         steps_per_execution=t.get("steps_per_execution", 1),
         fsdp=bool(t.get("fsdp", False)),
         seq_shard=bool(t.get("seq_shard", False)),
+        ckpt_every_n_steps=int(t.get("ckpt_every_n_steps", 0) or 0),
         exp_name=cfg.get("exp_name"), project=t.get("project"),
         tags=tuple(cfg.get("tags") or ()))
     save_composed_config(cfg, trainer.output_dir)

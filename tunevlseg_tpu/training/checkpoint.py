@@ -85,6 +85,29 @@ class CheckpointManager:
         (call before reading checkpoints or ending the run)."""
         self._drain()
 
+    def _save_in_flight(self) -> bool:
+        # orbax private: the async manager's background commit thread. If
+        # the API shifts, fall back to "assume in flight" — poll() then
+        # does nothing and promotion happens at the next blocking drain.
+        am = getattr(self._ckptr, "_async_manager", None)
+        t = getattr(am, "_thread", "unknown") if am is not None else "unknown"
+        if t == "unknown":
+            return True
+        return t is not None and t.is_alive()
+
+    def poll(self) -> None:
+        """NON-blocking promotion: if the background write already finished,
+        promote staged checkpoints now — an interval snapshot becomes
+        durable on the first step after its write completes instead of
+        waiting for the next save's drain. Returns immediately while a
+        write is still in flight. Multi-host: skipped (the drain's barriers
+        are collective; hosts could disagree on thread-doneness and
+        deadlock) — promotion there stays at the synchronized drains."""
+        if jax.process_count() > 1 or not self._pending:
+            return
+        if not self._save_in_flight():
+            self._drain()
+
     def save_frozen(self, frozen: Any) -> None:
         path = self.dir / "frozen"
         if not path.exists():

@@ -132,6 +132,12 @@ class Trainer:
     # into reduce-scatter + all-gather and LN/residual activation memory
     # drops by tp. No-op on a tp=1 mesh.
     seq_shard: bool = False
+    # >0 writes an exactly-resumable mid-epoch 'last' snapshot every N
+    # global steps (Lightning ModelCheckpoint every_n_train_steps). Covers
+    # hard kills that never deliver the SIGTERM the _PreemptionWatch
+    # relies on; saves are async (orbax overlaps the epoch compute) and
+    # carry the batch_offset so resume replays only the epoch's tail.
+    ckpt_every_n_steps: int = 0
 
     def __post_init__(self):
         from tunevlseg_tpu.utils.logging import MultiLogger
@@ -290,11 +296,17 @@ class Trainer:
         self.ckpt.save_frozen(frozen)
 
         start_epoch = 0
+        resume_offset = 0
         if resume_from:
             mgr, tag = self._resolve_resume(resume_from)
             state = mgr.restore(tag, state)
             meta = mgr.load_meta(tag)
             start_epoch = int(meta.get("epoch", -1)) + 1
+            if meta.get("preempted") or meta.get("mid_epoch"):
+                # step-level resume: replay only the TAIL of the interrupted
+                # epoch — its first batch_offset batches were already trained
+                # (the epoch's batch order is deterministic from (seed,epoch))
+                resume_offset = int(meta.get("batch_offset", 0))
             self.ckpt.best_value = meta.get("best_value")
             if self.scheduler is not None and meta.get("scheduler"):
                 for k, v in meta["scheduler"].items():
@@ -310,7 +322,8 @@ class Trainer:
         watch = _PreemptionWatch().install()
         try:
             state = self._fit_epochs(watch, state, frozen, train_loader,
-                                     val_loader, start_epoch, global_step)
+                                     val_loader, start_epoch, global_step,
+                                     resume_offset)
         finally:
             # not leaked on exceptions: a swallowed-SIGTERM process would
             # need SIGKILL, which can wedge remote-TPU transports
@@ -321,42 +334,62 @@ class Trainer:
         return state
 
     def _fit_epochs(self, watch, state, frozen, train_loader, val_loader,
-                    start_epoch, global_step):
+                    start_epoch, global_step, resume_offset=0):
         for epoch in range(start_epoch, self.max_epochs):
-            train_loader.set_epoch(epoch)
+            train_loader.set_epoch(
+                epoch, resume_offset if epoch == start_epoch else 0)
+            epoch_batches = resume_offset if epoch == start_epoch else 0
             for group in self._train_groups(train_loader):
                 if isinstance(group, list):  # fused multi-step chunk
                     stacked = jax.tree_util.tree_map(
                         lambda *xs: np.stack(xs), *[device_batch(b)
                                                     for b in group])
                     state, m = self._multi_step(state, frozen, stacked)
-                    global_step += len(group)
+                    inc = len(group)
                 else:
                     sharded = mesh_lib.shard_batch(self.mesh,
                                                    device_batch(group))
                     state, m = self._train_step(state, frozen, sharded)
-                    global_step += 1
-                if (global_step // self.log_every_n_steps) != (
-                        (global_step - (len(group) if isinstance(group, list)
-                                        else 1)) // self.log_every_n_steps):
+                    inc = 1
+                global_step += inc
+                epoch_batches += inc
+                # promote any finished async save (non-blocking durability)
+                self.ckpt.poll()
+
+                def crossed(n):
+                    return n and (global_step // n) != (
+                        (global_step - inc) // n)
+
+                if crossed(self.log_every_n_steps):
                     self.metrics_log.log(m, global_step, prefix="train_")
+                if crossed(self.ckpt_every_n_steps):
+                    # interval snapshot, exactly resumable mid-epoch: covers
+                    # hard kills that never deliver SIGTERM (async save —
+                    # the epoch's compute overlaps the write)
+                    self.ckpt.save("last", state,
+                                   {"epoch": epoch - 1, "mid_epoch": True,
+                                    "batch_offset": epoch_batches,
+                                    **self._fit_extra()})
                 if watch.preempted():
                     preempted = True
                     break
             else:
                 preempted = False
             if preempted:
-                # resumable snapshot: epoch-1 = last COMPLETED epoch, so a
-                # ckpt_path=.../last resume re-runs this epoch from its
-                # start with the mid-epoch optimizer state (step counter
-                # continues; identical contract to the epoch-end save)
+                # resumable snapshot: epoch-1 = last COMPLETED epoch and
+                # batch_offset = batches of THIS epoch already consumed, so a
+                # ckpt_path=.../last resume replays only the epoch's tail
+                # (deterministic per-epoch order) — no batch trains twice and
+                # the result is bit-identical to an uninterrupted run
                 self.ckpt.save("last", state,
                                {"epoch": epoch - 1, "preempted": True,
+                                "batch_offset": epoch_batches,
                                 **self._fit_extra()})
                 log.warning(
                     f"SIGTERM: saved resumable 'last' at step "
-                    f"{int(state.step)} (epoch {epoch} incomplete); resume "
-                    f"with ckpt_path={self.ckpt.dir / 'last'}")
+                    f"{int(state.step)} (epoch {epoch} batch "
+                    f"{epoch_batches}); resume with "
+                    f"ckpt_path={self.ckpt.dir / 'last'}")
                 break
 
             epoch_metrics: dict[str, float] = {"epoch": epoch}

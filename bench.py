@@ -102,18 +102,27 @@ def build(model_name: str, args):
     return task, metric, batch, img
 
 
-def example_batch(batch: int, img: int):
+def example_batch(batch: int, img: int, text_dedup: int = 0):
+    """`text_dedup=U` emits the collator's deduped layout (data/pipeline.py
+    dedup_text): U unique prompt rows + a (B,) inverse map — the realistic
+    batch for the reference's single-class recipes, where every row repeats
+    the dataset's one selected prompt (prompt_index semantics)."""
     rng = np.random.default_rng(0)
     ids = rng.integers(3, 1000, size=(batch, 77)).astype(np.int32)
     ids[:, 0] = 49406
     ids[:, 9:] = 49407
-    return {
+    out = {
         "image": rng.integers(0, 255, (batch, 3, img, img), dtype=np.uint8),
         "mask": (rng.random((batch, 1, img, img)) > 0.7).astype(np.float32),
         "input_ids": ids,
         "attention_mask": (ids != 49407).astype(np.int32),
         "valid": np.ones((batch,), np.float32),
     }
+    if text_dedup:
+        out["input_ids"] = ids[:text_dedup]
+        out["attention_mask"] = out["attention_mask"][:text_dedup]
+        out["text_index"] = (np.arange(batch) % text_dedup).astype(np.int32)
+    return out
 
 
 def count_step_flops(task, mesh, state, frozen, batch):
@@ -157,7 +166,10 @@ def bench_one(model_name: str, args) -> dict:
     n_chips = len(jax.devices())
     mesh = mesh_lib.make_mesh(n_chips)
     task, metric, batch_size, img = build(model_name, args)
-    batch = example_batch(batch_size, img)
+    td = args.text_dedup if model_name in ("coop_clipseg", "coop_cris") else 0
+    if td:
+        metric += f"_dedup{td}"
+    batch = example_batch(batch_size, img, text_dedup=td)
 
     state, frozen = task.init(jax.random.PRNGKey(0), batch)
     state = mesh_lib.replicate(mesh, state)
@@ -168,13 +180,12 @@ def bench_one(model_name: str, args) -> dict:
 
     K = max(1, args.scan)
     if K > 1:
-        from jax.sharding import NamedSharding, PartitionSpec as P
         train = task.compile_train_multistep(mesh, K)
-        stacked_sh = NamedSharding(mesh, P(None, mesh_lib.DATA_AXIS))
+        stacked = {k: np.stack([v] * K) for k, v in batch.items()}
+        shs = mesh_lib.batch_shardings(mesh, stacked, stacked=True)
         # device-resident once — otherwise every launch re-ships the full
         # stacked batch from host, which dwarfs the step on this transport
-        sharded = {k: jax.device_put(np.stack([v] * K), stacked_sh)
-                   for k, v in batch.items()}
+        sharded = {k: jax.device_put(v, shs[k]) for k, v in stacked.items()}
     else:
         train, _, _ = task.compile_steps(mesh)
         sharded = sharded1
@@ -238,6 +249,13 @@ def main() -> None:
                          "vision tower and exercise the Pallas backward)")
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--img", type=int, default=None)
+    ap.add_argument("--text-dedup", type=int, default=0,
+                    help="bench the prompt-dedup batch layout with this many "
+                         "unique prompts (collate text_dedup=U): the "
+                         "realistic single-class-recipe batch, where the "
+                         "text tower runs U times instead of B "
+                         "(clipseg/cris only; metric gains a _dedupU "
+                         "suffix)")
     ap.add_argument("--scan", type=int, default=10,
                     help="steps fused per executable (steps-per-execution); "
                          "1 = a separate launch per step (scan sweep r3: "

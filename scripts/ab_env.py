@@ -25,27 +25,27 @@ import numpy as np  # noqa: E402
 import bench  # noqa: E402
 
 
-def build_variant(env: str, value: str, args, mesh, batch_override=None):
+def build_variant(env: str, value: str, args, mesh, batch_override=None,
+                  text_dedup: int = 0):
     import argparse as _ap
 
     import jax
 
     from tunevlseg_tpu.parallel import mesh as mesh_lib
-    from jax.sharding import NamedSharding, PartitionSpec as P
 
     os.environ[env] = value
     if batch_override is not None:
         args = _ap.Namespace(**{**vars(args), "batch": batch_override})
     task, _, batch_size, img = bench.build(args.family, args)
-    batch = bench.example_batch(batch_size, img)
+    batch = bench.example_batch(batch_size, img, text_dedup=text_dedup)
     state, frozen = task.init(jax.random.PRNGKey(0), batch)
     state = mesh_lib.replicate(mesh, state)
     frozen = mesh_lib.replicate(mesh, frozen)
     K = max(1, args.scan)
     train = task.compile_train_multistep(mesh, K)
-    stacked_sh = NamedSharding(mesh, P(None, mesh_lib.DATA_AXIS))
-    sharded = {k: jax.device_put(np.stack([v] * K), stacked_sh)
-               for k, v in batch.items()}
+    stacked = {k: np.stack([v] * K) for k, v in batch.items()}
+    shs = mesh_lib.batch_shardings(mesh, stacked, stacked=True)
+    sharded = {k: jax.device_put(v, shs[k]) for k, v in stacked.items()}
     return dict(value=value, train=train, state=state, frozen=frozen,
                 batch=sharded, K=K, batch_size=batch_size)
 
@@ -86,15 +86,24 @@ def main():
     ap.add_argument("--batch-b", type=int, default=None)
     ap.add_argument("--img", type=int, default=None)
     ap.add_argument("--strategy", default=None)
+    ap.add_argument("--text-dedup-a", type=int, default=0,
+                    help="variant A uses the prompt-dedup batch layout with "
+                         "this many unique prompts (0 = dense). For a pure "
+                         "batch-layout A/B pass a no-op env var, e.g. "
+                         "--env TUNEVLSEG_AB_NOOP --a dense --b dedup "
+                         "--text-dedup-b 1")
+    ap.add_argument("--text-dedup-b", type=int, default=0)
     args = ap.parse_args()
 
     from tunevlseg_tpu.parallel import mesh as mesh_lib
 
     mesh = mesh_lib.make_mesh(1)
     variants = []
-    for value, b_ovr in ((args.a, args.batch_a), (args.b, args.batch_b)):
+    for value, b_ovr, td in ((args.a, args.batch_a, args.text_dedup_a),
+                             (args.b, args.batch_b, args.text_dedup_b)):
         t0 = time.perf_counter()
-        v = build_variant(args.env, value, args, mesh, batch_override=b_ovr)
+        v = build_variant(args.env, value, args, mesh, batch_override=b_ovr,
+                          text_dedup=td)
         warm(v)
         print(f"# {args.env}={value}: built+compiled+warm in "
               f"{time.perf_counter() - t0:.0f}s", flush=True)

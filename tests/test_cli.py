@@ -130,6 +130,52 @@ def test_full_train_eval_cycle(synth_root, tmp_path):
     assert (Path(eval_result["export_dir"]) / "predict.stablehlo").exists()
 
 
+def test_text_dedup_train_cycle(synth_root, tmp_path):
+    """Prompt-dedup CLI surface: data.text_dedup dedups each batch's prompts
+    host-side (kvasir_polyp selects one fixed prompt per sample, so U=1
+    suffices) and the jitted step gathers text features via text_index."""
+    from tunevlseg_tpu import train as train_mod
+
+    out = tmp_path / "logs"
+    result = train_mod.main([
+        "ds_name=kvasir_polyp",
+        f"paths.data_root={synth_root}",
+        f"paths.log_dir={out}",
+        f"vocab_path={VOCAB}",
+        "img_size=32",
+        "+tiny_model=true",
+        "data.batch_size=4",
+        "data.num_workers=2",
+        "+data.text_dedup=1",
+        "trainer=debug",
+        "trainer.max_epochs=1",
+        "trainer.n_devices=4",
+        "exp_name=dedup_smoke",
+    ])
+    assert "test_dice" in result and 0 <= result["test_dice"] <= 1
+    assert np.isfinite(result["test_loss"])
+
+
+def test_text_dedup_rejects_cocoop(synth_root, tmp_path):
+    from tunevlseg_tpu import train as train_mod
+
+    with pytest.raises(ValueError, match="CoCoOp"):
+        train_mod.main([
+            "ds_name=kvasir_polyp",
+            f"paths.data_root={synth_root}",
+            f"paths.log_dir={tmp_path / 'logs'}",
+            f"vocab_path={VOCAB}",
+            "img_size=32",
+            "+tiny_model=true",
+            "data.batch_size=4",
+            "+data.text_dedup=1",
+            "model.strategy=cocoop",
+            "trainer=debug",
+            "trainer.max_epochs=1",
+            "exp_name=dedup_cocoop",
+        ])
+
+
 def test_cris_train_cycle(synth_root, tmp_path):
     """CRIS family end-to-end on synthetic data (tiny config)."""
     from tunevlseg_tpu import train as train_mod

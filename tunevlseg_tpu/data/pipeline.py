@@ -30,8 +30,19 @@ import numpy as np
 _ARRAY_KEYS = ("image", "mask", "input_ids", "attention_mask")
 
 
-def collate(samples: list[dict[str, Any]], batch_size: int) -> dict[str, Any]:
-    """Stack samples; pad to `batch_size` with repeats + valid=0."""
+def collate(samples: list[dict[str, Any]], batch_size: int,
+            text_dedup: int = 0) -> dict[str, Any]:
+    """Stack samples; pad to `batch_size` with repeats + valid=0.
+
+    `text_dedup=U` rewrites the text keys to the batch's unique prompt rows
+    padded to the STATIC capacity U, plus an inverse map `text_index` (B,):
+    the reference's canonical single-class recipes select one fixed prompt
+    per dataset (ImageTextMaskDataset prompt_index,
+    src/data/core_datasets/image_text_mask_dataset.py:101-128), so every row
+    repeats the same tokens and the model's text tower can run once instead
+    of batch_size times (models/clipseg/model.py text_index). Raises when a
+    batch holds more than U distinct prompts — raise the capacity or disable
+    dedup for multi-prompt data."""
     n = len(samples)
     valid = np.zeros((batch_size,), np.float32)
     valid[:n] = 1.0
@@ -42,10 +53,40 @@ def collate(samples: list[dict[str, Any]], batch_size: int) -> dict[str, Any]:
         if k in samples[0]
     }
     batch["valid"] = valid
+    if text_dedup and "input_ids" in batch:
+        dedup_text(batch, text_dedup)
     # passthrough metadata (lists, not arrays — host-side only)
     for k in ("mask_name", "prompt", "mask_shape"):
         if k in samples[0]:
             batch[k] = [s[k] for s in samples]
+    return batch
+
+
+def dedup_text(batch: dict[str, Any], capacity: int) -> dict[str, Any]:
+    """In-place prompt dedup: keep the unique (input_ids, attention_mask)
+    rows (padded to `capacity` with repeats of row 0 — padding rows are
+    computed but never gathered, so they carry no gradient) and add the
+    int32 inverse map `text_index`."""
+    ids = batch["input_ids"]
+    am = batch.get("attention_mask")
+    row_key = {}
+    index = np.empty((ids.shape[0],), np.int32)
+    keep: list[int] = []
+    for i in range(ids.shape[0]):
+        key = ids[i].tobytes() + (b"" if am is None else am[i].tobytes())
+        j = row_key.setdefault(key, len(keep))
+        if j == len(keep):
+            keep.append(i)
+        index[i] = j
+    if len(keep) > capacity:
+        raise ValueError(
+            f"text_dedup={capacity} but the batch holds {len(keep)} distinct "
+            f"prompts — raise data.text_dedup or disable it")
+    sel = np.asarray(keep + [keep[0]] * (capacity - len(keep)))
+    batch["input_ids"] = ids[sel]
+    if am is not None:
+        batch["attention_mask"] = am[sel]
+    batch["text_index"] = index
     return batch
 
 
@@ -61,6 +102,7 @@ class DataLoader:
         prefetch: int = 2,
         num_shards: int = 1,
         shard_index: int = 0,
+        text_dedup: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -69,6 +111,7 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.text_dedup = text_dedup
         self.epoch = 0
         self.start_batch = 0
         # multi-host: this process loads every num_shards-th sample
@@ -146,7 +189,8 @@ class DataLoader:
                         futs = pending.popleft()
                         try:
                             item: Any = collate([f.result() for f in futs],
-                                                self.batch_size)
+                                                self.batch_size,
+                                                text_dedup=self.text_dedup)
                         except Exception as e:  # surface worker errors
                             item = e
                         if not put_or_stop(item) or isinstance(item, Exception):
@@ -174,4 +218,4 @@ class DataLoader:
 def device_batch(batch: dict[str, Any]) -> dict[str, Any]:
     """Strip host-only metadata before shipping to device."""
     return {k: v for k, v in batch.items()
-            if k in (*_ARRAY_KEYS, "valid")}
+            if k in (*_ARRAY_KEYS, "valid", "text_index")}

@@ -52,7 +52,8 @@ def _run(cfg: dict) -> dict:
     mesh = mesh_lib.make_mesh(t.get("n_devices"), t.get("model_parallel", 1))
     d = cfg["data"]
     test_loader = DataLoader(datasets["test"], d["batch_size"], shuffle=False,
-                             num_workers=d.get("num_workers", 8))
+                             num_workers=d.get("num_workers", 8),
+                             text_dedup=int(d.get("text_dedup", 0) or 0))
 
     sample = next(iter(test_loader))
     loaded = load_pretrained(cfg)

@@ -74,14 +74,27 @@ class CLIPSegForSegmentation(nn.Module):
 
     def __call__(
         self,
-        input_ids: jnp.ndarray,          # (B, L)
+        input_ids: jnp.ndarray,          # (B, L) — or (U, L) with text_index
         pixel_values: jnp.ndarray,       # (B, C, H, W)
         attention_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        text_index: Optional[jnp.ndarray] = None,   # (B,) int32 -> rows of U
     ) -> jnp.ndarray:
         """Returns logits (B, 1, H, W) — the universal net interface of the
         reference (`net(text_input, image_input)`,
-        src/models/image_text_mask_module.py:257-265)."""
+        src/models/image_text_mask_module.py:257-265).
+
+        `text_index` enables prompt deduplication: the reference's canonical
+        single-class recipes feed the SAME prompt to every batch row
+        (ImageTextMaskDataset prompt selection with a fixed prompt_index,
+        src/data/core_datasets/image_text_mask_dataset.py:101-128), yet its
+        text tower runs batch_size times. Here the collator may pass
+        `input_ids` with only the U unique rows plus an inverse map
+        `text_index`; the text tower runs U times and `cond` is gathered
+        back to B rows (the gather's transpose is a segment-sum, so grads
+        match the dense run exactly up to reduction order). Incompatible
+        with image-conditioned prompts (CoCoOp), whose text stack differs
+        per image row."""
         c = self.config
         b, _, h, w = pixel_values.shape
         learner = self.learner
@@ -91,6 +104,11 @@ class CLIPSegForSegmentation(nn.Module):
         need_pooled = (learner is not None
                        and type(learner).needs_image_features)
         prompt_depth = learner.prompt_depth if learner is not None else 0
+        if text_index is not None and need_pooled:
+            raise ValueError(
+                "text_index (prompt dedup) is incompatible with image-"
+                "conditioned prompt learners (CoCoOp): the text stack is "
+                "per-image, so unique prompt rows cannot be shared")
 
         # --- context stacks: computed ONCE per step unless image-conditioned
         # (CoCoOp), in which case the text stack waits for pooled features ---
@@ -122,6 +140,8 @@ class CLIPSegForSegmentation(nn.Module):
             input_ids, attention_mask=attention_mask, text_ctx=text_ctx,
             prompt_depth=prompt_depth)
         cond = self.text_projection(pooled_text)
+        if text_index is not None:
+            cond = jnp.take(cond, text_index, axis=0)
 
         # --- decoder ---
         num_visual_ctx = visual_ctx.shape[-2] if visual_ctx is not None else 0

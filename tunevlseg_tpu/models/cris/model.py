@@ -209,11 +209,22 @@ class CRISForSegmentation(nn.Module):
 
     def __call__(self, input_ids: jnp.ndarray, pixel_values: jnp.ndarray,
                  attention_mask: Optional[jnp.ndarray] = None,
-                 deterministic: bool = True) -> jnp.ndarray:
+                 deterministic: bool = True,
+                 text_index: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """`text_index` (B,) enables prompt dedup: `input_ids` carries only
+        the U unique prompt rows, the text tower runs U times, and tokens/
+        state/pad_mask are gathered back to B rows before the decoder (see
+        CLIPSegForSegmentation.__call__ for the rationale; incompatible
+        with CoCoOp's image-conditioned text stack)."""
         c = self.config
         learner = self.learner
         num_ctx = learner.num_context if learner is not None else 0
         prompt_depth = learner.prompt_depth if learner is not None else 0
+        if text_index is not None and learner is not None and \
+                type(learner).needs_image_features:
+            raise ValueError(
+                "text_index (prompt dedup) is incompatible with image-"
+                "conditioned prompt learners (CoCoOp)")
 
         # pad mask (True = pad), extended with zeros for context slots
         if attention_mask is not None:
@@ -238,6 +249,10 @@ class CRISForSegmentation(nn.Module):
         tokens, state = self.backbone_text(
             input_ids, pad_mask=pad_mask, text_ctx=text_ctx,
             prompt_depth=prompt_depth, max_length=c.context_length)
+        if text_index is not None:
+            tokens = jnp.take(tokens, text_index, axis=0)
+            state = jnp.take(state, text_index, axis=0)
+            pad_mask = jnp.take(pad_mask, text_index, axis=0)
 
         # bn_train models use batch stats while TRAINING but running stats in
         # eval (torch train()/eval() semantics); frozen-backbone runs always

@@ -65,18 +65,38 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+# Batch keys that must REPLICATE (not data-shard) when the collator deduped
+# the batch's prompts: input_ids/attention_mask then hold the U unique rows
+# (U need not divide the mesh; every chip needs all of them to gather its
+# own rows via text_index, which IS data-sharded like the images).
+_DEDUP_REPLICATED = ("input_ids", "attention_mask")
+
+
+def batch_shardings(mesh: Mesh, batch: dict, stacked: bool = False) -> dict:
+    """Per-key shardings for a host batch dict: leading axis over `data`,
+    except the prompt-dedup keys (replicated) when `text_index` is present.
+    `stacked=True` is the steps-per-execution layout, (num_steps, B, ...)
+    with the SECOND axis as batch."""
+    row = P(None, DATA_AXIS) if stacked else P(DATA_AXIS)
+    data = NamedSharding(mesh, row)
+    repl = replicated(mesh)
+    dedup = "text_index" in batch
+    return {k: (repl if dedup and k in _DEDUP_REPLICATED else data)
+            for k in batch}
+
+
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
-    """Device-put a host batch with the leading axis sharded over `data`.
+    """Device-put a host batch with the leading axis sharded over `data`
+    (prompt-dedup keys replicated — see batch_shardings).
 
     Multi-host: each process passes its LOCAL slice of the global batch
     (global = local x process_count on the data axis); the pieces assemble
     into one global array without any cross-host transfer."""
-    sh = batch_sharding(mesh)
+    shs = batch_shardings(mesh, batch)
     if jax.process_count() > 1:
-        return jax.tree_util.tree_map(
-            lambda x: jax.make_array_from_process_local_data(
-                sh, np.asarray(x)), batch)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+        return {k: jax.make_array_from_process_local_data(
+            shs[k], np.asarray(v)) for k, v in batch.items()}
+    return {k: jax.device_put(v, shs[k]) for k, v in batch.items()}
 
 
 def host_local_rows(mesh: Mesh, arr, local_n: int):

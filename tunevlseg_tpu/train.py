@@ -353,12 +353,25 @@ def _run(cfg: dict) -> dict:
     if d["batch_size"] % pc:
         raise ValueError(f"global batch_size {d['batch_size']} must divide "
                          f"by process_count {pc}")
+    td = int(d.get("text_dedup", 0) or 0)
+    if td:
+        mcfg = cfg["model"]
+        if mcfg.get("family", "clipseg") not in ("clipseg", "cris"):
+            raise ValueError("data.text_dedup only supports the clipseg/"
+                             "cris families (their nets take text_index)")
+        if mcfg.get("strategy") == "cocoop":
+            raise ValueError("data.text_dedup is incompatible with CoCoOp "
+                             "(image-conditioned text stack)")
+        if pc > 1:
+            # each host would dedup its LOCAL batch to a different unique
+            # set, but the dedup keys assemble as a REPLICATED global array
+            raise ValueError("data.text_dedup is single-host only")
     loaders = {
         split: DataLoader(ds, d["batch_size"] // pc,
                           shuffle=(split == "train"),
                           seed=seed, num_workers=d.get("num_workers", 8),
                           drop_last=d.get("drop_last", False),
-                          num_shards=pc, shard_index=pi)
+                          num_shards=pc, shard_index=pi, text_dedup=td)
         for split, ds in datasets.items()
     }
 

@@ -344,6 +344,10 @@ class Trainer:
                     stacked = jax.tree_util.tree_map(
                         lambda *xs: np.stack(xs), *[device_batch(b)
                                                     for b in group])
+                    shs = mesh_lib.batch_shardings(self.mesh, stacked,
+                                                   stacked=True)
+                    stacked = {k: jax.device_put(v, shs[k])
+                               for k, v in stacked.items()}
                     state, m = self._multi_step(state, frozen, stacked)
                     inc = len(group)
                 else:

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import linen as nn
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from tunevlseg_tpu.ops import losses as losses_lib
 from tunevlseg_tpu.ops import metrics as metrics_lib
@@ -98,7 +98,7 @@ class SegmentationTask:
 
         init_vars = dict(self.model.init(
             rng, batch["input_ids"], batch["image"],
-            batch.get("attention_mask")))
+            batch.get("attention_mask"), **self._model_kwargs(batch)))
         random_params = init_vars.pop("params")
         if params is None:
             params = random_params
@@ -141,12 +141,22 @@ class SegmentationTask:
             return (image.astype(jnp.float32) / 255.0 - mean) / std
         return image
 
+    @staticmethod
+    def _model_kwargs(batch) -> dict:
+        """Optional batch keys forwarded to the net. `text_index` is the
+        prompt-dedup inverse map (collate(text_dedup=U)): input_ids carries
+        only the batch's U unique prompt rows and the model gathers its text
+        features back to B — only passed when present so nets without the
+        feature keep their stock signature."""
+        return ({"text_index": batch["text_index"]}
+                if "text_index" in batch else {})
+
     def _forward(self, params, extras, batch, rngs=None, deterministic=True):
         return self.model.apply(
             {"params": params, **extras}, batch["input_ids"],
             self._prep_image(batch["image"]),
             batch.get("attention_mask"), deterministic=deterministic,
-            rngs=rngs)
+            rngs=rngs, **self._model_kwargs(batch))
 
     @staticmethod
     def _split_frozen(frozen):
@@ -163,13 +173,14 @@ class SegmentationTask:
                 self._prep_image(batch["image"]),
                 batch.get("attention_mask"), deterministic=False,
                 rngs={"dropout": rng},
-                mutable=list(self.mutable_collections))
+                mutable=list(self.mutable_collections),
+                **self._model_kwargs(batch))
         else:
             logits = self.model.apply(
                 variables, batch["input_ids"],
                 self._prep_image(batch["image"]),
                 batch.get("attention_mask"), deterministic=False,
-                rngs={"dropout": rng})
+                rngs={"dropout": rng}, **self._model_kwargs(batch))
             updates = {}
         mask = batch["mask"]
         valid = batch.get("valid")
@@ -298,12 +309,13 @@ class SegmentationTask:
                                 frozen_shardings=None, state_shardings=None):
         """One XLA executable running `num_steps` train steps via lax.scan
         (steps-per-execution). Takes batches stacked on a leading axis
-        (num_steps, B, ...) sharded (None, data) and returns metrics
-        averaged over the scanned steps. Amortizes per-launch host/dispatch
-        latency — on the remote-TPU transport here that is ~20ms/step,
-        nearly a third of the CLIPSeg step."""
+        (num_steps, B, ...) sharded (None, data) — callers place them via
+        `mesh_lib.batch_shardings(mesh, batch, stacked=True)`, which keeps
+        prompt-dedup keys replicated — and returns metrics averaged over the
+        scanned steps. Amortizes per-launch host/dispatch latency — on the
+        remote-TPU transport here that is ~20ms/step, nearly a third of the
+        CLIPSeg step."""
         repl = mesh_lib.replicated(mesh)
-        stacked = NamedSharding(mesh, P(None, mesh_lib.DATA_AXIS))
         fsh = repl if frozen_shardings is None else frozen_shardings
         ssh = repl if state_shardings is None else state_shardings
 
@@ -317,7 +329,9 @@ class SegmentationTask:
 
         return jax.jit(
             multi,
-            in_shardings=(ssh, fsh, stacked),
+            # batch in_shardings inferred from the caller's device_put (per-
+            # key: stacked-data for rows, replicated for dedup prompt keys)
+            in_shardings=(ssh, fsh, None),
             out_shardings=(ssh, repl),
             donate_argnums=(0,) if self.donate_state else (),
         )

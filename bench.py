@@ -166,7 +166,8 @@ def bench_one(model_name: str, args) -> dict:
     n_chips = len(jax.devices())
     mesh = mesh_lib.make_mesh(n_chips)
     task, metric, batch_size, img = build(model_name, args)
-    td = args.text_dedup if model_name in ("coop_clipseg", "coop_cris") else 0
+    td = (args.text_dedup
+          if model_name in ("coop_clipseg", "coop_cris", "trans_seg") else 0)
     if td:
         metric += f"_dedup{td}"
     batch = example_batch(batch_size, img, text_dedup=td)

@@ -130,10 +130,14 @@ def test_full_train_eval_cycle(synth_root, tmp_path):
     assert (Path(eval_result["export_dir"]) / "predict.stablehlo").exists()
 
 
-def test_text_dedup_train_cycle(synth_root, tmp_path):
+@pytest.mark.parametrize("model_overrides",
+                         [(), ("model=trans_seg",)],
+                         ids=["clipseg", "trans_seg"])
+def test_text_dedup_train_cycle(synth_root, tmp_path, model_overrides):
     """Prompt-dedup CLI surface: data.text_dedup dedups each batch's prompts
     host-side (kvasir_polyp selects one fixed prompt per sample, so U=1
-    suffices) and the jitted step gathers text features via text_index."""
+    suffices) and the jitted step gathers text features via text_index —
+    for clipseg (frozen text tower) and trans_seg (trainable text tower)."""
     from tunevlseg_tpu import train as train_mod
 
     out = tmp_path / "logs"
@@ -151,6 +155,7 @@ def test_text_dedup_train_cycle(synth_root, tmp_path):
         "trainer.max_epochs=1",
         "trainer.n_devices=4",
         "exp_name=dedup_smoke",
+        *model_overrides,
     ])
     assert "test_dice" in result and 0 <= result["test_dice"] <= 1
     assert np.isfinite(result["test_loss"])

@@ -140,6 +140,41 @@ def test_cris_dedup_matches_dense(rng):
                                rtol=0, atol=3e-5)
 
 
+def test_trans_seg_dedup_matches_dense(rng):
+    """TransformerSegmentor (full fine-tune: the text tower is TRAINABLE, so
+    the gather transpose must also reproduce text-tower WEIGHT grads, not
+    just the context-vector grads the clipseg case exercises)."""
+    from tunevlseg_tpu.models.trans_segmentor.model import (
+        TransformerSegmentor, TransSegmentorConfig)
+
+    cfg = TransSegmentorConfig.tiny()
+    model = TransformerSegmentor(cfg)
+    task = SegmentationTask(model, FreezeSpec(freeze_all=False,
+                                              family="trans_segmentor"),
+                            learning_rate=1e-2)
+    batch = collate(_samples(rng, n=4, img=cfg.vision.image_size,
+                             seq=8, vocab=99, n_prompts=2),
+                    batch_size=4, text_dedup=2)
+    dense = _dense_batch(batch)
+    state, frozen = task.init(jax.random.PRNGKey(0), dense)
+
+    def loss_and_logits(b):
+        (loss, (logits, _)), grads = jax.value_and_grad(
+            task._loss, has_aux=True)(state.trainable, state.model_state,
+                                      frozen, b, jax.random.PRNGKey(1))
+        return loss, logits, grads
+
+    loss_d, logits_d, grads_d = loss_and_logits(dense)
+    loss_u, logits_u, grads_u = loss_and_logits(batch)
+    np.testing.assert_allclose(np.asarray(logits_u), np.asarray(logits_d),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(float(loss_u), float(loss_d), atol=1e-6)
+    for gu, gd in zip(jax.tree_util.tree_leaves(grads_u),
+                      jax.tree_util.tree_leaves(grads_d)):
+        np.testing.assert_allclose(np.asarray(gu), np.asarray(gd),
+                                   rtol=1e-4, atol=2e-5)
+
+
 def test_cocoop_dedup_raises(rng):
     task = _clipseg_task("cocoop")
     batch = collate(_samples(rng, n=4, n_prompts=1), batch_size=4,

@@ -337,7 +337,13 @@ class TransformerSegmentor(nn.Module):
                                    name="upsampler")
 
     def __call__(self, input_ids, pixel_values, attention_mask=None,
-                 deterministic: bool = True):
+                 text_index=None, deterministic: bool = True):
+        """`text_index` (B,) int32 enables prompt dedup (same contract as
+        models/clipseg/model.py): `input_ids`/`attention_mask` carry only the
+        batch's U unique prompt rows; the text tower (trainable here — the
+        gather transpose is a segment-sum, so weight grads match the dense
+        run up to reduction order) runs U times and the decoder memory is
+        gathered back to B rows."""
         c = self.config
         b = pixel_values.shape[0]
 
@@ -347,6 +353,10 @@ class TransformerSegmentor(nn.Module):
             text_embeds = self.text_projection(text_hidden)
         else:
             text_embeds = text_hidden
+        if text_index is not None:
+            text_embeds = jnp.take(text_embeds, text_index, axis=0)
+            if attention_mask is not None:
+                attention_mask = jnp.take(attention_mask, text_index, axis=0)
 
         _, image_hidden, _ = self.vision_model(pixel_values)
         if self.visual_projection is not None:

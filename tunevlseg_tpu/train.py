@@ -356,9 +356,11 @@ def _run(cfg: dict) -> dict:
     td = int(d.get("text_dedup", 0) or 0)
     if td:
         mcfg = cfg["model"]
-        if mcfg.get("family", "clipseg") not in ("clipseg", "cris"):
+        if mcfg.get("family", "clipseg") not in ("clipseg", "cris",
+                                                 "trans_segmentor"):
             raise ValueError("data.text_dedup only supports the clipseg/"
-                             "cris families (their nets take text_index)")
+                             "cris/trans_segmentor families (their nets "
+                             "take text_index)")
         if mcfg.get("strategy") == "cocoop":
             raise ValueError("data.text_dedup is incompatible with CoCoOp "
                              "(image-conditioned text stack)")

@@ -22,6 +22,15 @@ Canonical recipes (BASELINE.md):
   * coop_cris:    CRIS RN50 CoOp, img 416², batch 64
   * trans_seg:    TransformerSegmentor ViT-B/16 full fine-tune, b32@352
 
+The flagship row defaults to the prompt-dedup batch layout (text_dedup=1,
+metric suffix `_dedup1`): the reference's canonical single-class recipes fix
+ONE prompt per dataset (prompt_index), so the production collator emits one
+unique text row + a (B,) inverse map and the text tower runs once, not 64
+times. Grads match the dense run (tests/test_text_dedup.py); on-chip losses
+are identical and the paired A/B measured +12.3% (18.88 vs 16.81 steps/s,
+PERF_r04/ab_clipseg_dedup.log). `--text-dedup 0` reproduces the dense
+r1-r3 headline (~16.9).
+
 Baseline note: the reference repo publishes no numbers and cannot run here
 (no GPU, no lightning/monai in this image — BASELINE.md). `REF_STEPS_PER_SEC`
 is a recorded estimate of the reference's single-GPU step rate per recipe
@@ -166,8 +175,9 @@ def bench_one(model_name: str, args) -> dict:
     n_chips = len(jax.devices())
     mesh = mesh_lib.make_mesh(n_chips)
     task, metric, batch_size, img = build(model_name, args)
-    td = (args.text_dedup
-          if model_name in ("coop_clipseg", "coop_cris", "trans_seg") else 0)
+    td = args.text_dedup
+    if td is None:  # auto: dedup the flagship, keep family rows dense
+        td = 1 if model_name == "coop_clipseg" else 0
     if td:
         metric += f"_dedup{td}"
     batch = example_batch(batch_size, img, text_dedup=td)
@@ -250,13 +260,17 @@ def main() -> None:
                          "vision tower and exercise the Pallas backward)")
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--img", type=int, default=None)
-    ap.add_argument("--text-dedup", type=int, default=0,
+    ap.add_argument("--text-dedup", type=int, default=None,
                     help="bench the prompt-dedup batch layout with this many "
                          "unique prompts (collate text_dedup=U): the "
                          "realistic single-class-recipe batch, where the "
                          "text tower runs U times instead of B "
-                         "(clipseg/cris only; metric gains a _dedupU "
-                         "suffix)")
+                         "(metric gains a _dedupU suffix). Default: 1 for "
+                         "the flagship coop_clipseg (chip A/B "
+                         "PERF_r04/ab_clipseg_dedup.log: +12.3%% paired, "
+                         "losses identical), 0 for the other families so "
+                         "their rows stay comparable across rounds. Pass 0 "
+                         "to force the dense layout everywhere.")
     ap.add_argument("--scan", type=int, default=10,
                     help="steps fused per executable (steps-per-execution); "
                          "1 = a separate launch per step (scan sweep r3: "

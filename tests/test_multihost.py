@@ -66,6 +66,44 @@ m = float(global_mean(sharded["image"]))
 # global batch holds samples 0,2 (proc 0) and 1,3 (proc 1) -> mean 1.5
 assert abs(m - 1.5) < 1e-6, m
 print("MULTIHOST_OK", {pid}, m)
+
+# --- prompt-dedup on multi-host: replicated unique keys + sharded index ---
+class SharedPromptDS:
+    def __len__(self):
+        return 8
+    def __getitem__(self, i):
+        return {{"image": np.full((1, 4, 4), float(i), np.float32),
+                "mask": np.zeros((1, 4, 4), np.float32),
+                "input_ids": np.array([1, 7, 2], np.int32),  # ONE prompt
+                "attention_mask": np.ones((3,), np.int32)}}
+
+dl = DataLoader(SharedPromptDS(), batch_size=2, shuffle=False, num_workers=1,
+                num_shards=2, shard_index={pid}, text_dedup=1)
+db = {{k: v for k, v in next(iter(dl)).items() if k != "valid"}}
+assert db["input_ids"].shape == (1, 3)
+mesh_lib.assert_dedup_keys_agree(db)  # identical on both hosts -> no raise
+sb = mesh_lib.shard_batch(mesh, db)
+assert sb["input_ids"].sharding.is_fully_replicated
+assert sb["text_index"].shape == (4,)  # global batch rows, data-sharded
+assert not sb["text_index"].sharding.is_fully_replicated
+
+@jax.jit
+def densify_mean(ids, idx):
+    return jnp.mean(jnp.take(ids, idx, 0).astype(jnp.float32))
+
+dm = float(densify_mean(sb["input_ids"], sb["text_index"]))
+assert abs(dm - (1 + 7 + 2) / 3) < 1e-6, dm
+
+# per-host DIFFERENT prompts (the stride shards of DS have distinct ids)
+bad = {{k: v for k, v in batches[0].items() if k != "valid"}}
+from tunevlseg_tpu.data.pipeline import dedup_text
+dedup_text(bad, capacity=2)
+try:
+    mesh_lib.assert_dedup_keys_agree(bad)
+    raise SystemExit("dedup disagreement not detected")
+except ValueError as e:
+    assert "differ across hosts" in str(e)
+print("MULTIHOST_DEDUP_OK", {pid})
 """
 
 
@@ -187,3 +225,4 @@ def test_two_process_cpu_distributed(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid}:\n{out[-2000:]}"
         assert f"MULTIHOST_OK {pid}" in out
+        assert f"MULTIHOST_DEDUP_OK {pid}" in out

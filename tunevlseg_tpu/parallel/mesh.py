@@ -85,6 +85,32 @@ def batch_shardings(mesh: Mesh, batch: dict, stacked: bool = False) -> dict:
             for k in batch}
 
 
+def assert_dedup_keys_agree(batch: dict) -> None:
+    """Multi-host guard for the prompt-dedup batch layout.
+
+    The dedup keys assemble as a REPLICATED global array and
+    `make_array_from_process_local_data` does NOT verify the hosts passed
+    identical values — disagreement would silently pick one host's prompts.
+    With a fixed prompt_index every local batch holds the same unique row
+    padded deterministically to capacity, so agreement holds by
+    construction; this one-time allgather (U×77 int32 — bytes) turns a
+    recipe violation into a hard error instead of corrupt training."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+    for k in _DEDUP_REPLICATED:
+        if k not in batch:
+            continue
+        g = np.asarray(multihost_utils.process_allgather(
+            np.asarray(batch[k]), tiled=False))
+        if not (g == g[0]).all():
+            raise ValueError(
+                f"text_dedup keys differ across hosts ({k}): the "
+                "replicated assembly would silently use one host's "
+                "prompts — every host must select identical prompts "
+                "(fixed prompt_index), or disable data.text_dedup")
+
+
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
     """Device-put a host batch with the leading axis sharded over `data`
     (prompt-dedup keys replicated — see batch_shardings).

@@ -364,10 +364,15 @@ def _run(cfg: dict) -> dict:
         if mcfg.get("strategy") == "cocoop":
             raise ValueError("data.text_dedup is incompatible with CoCoOp "
                              "(image-conditioned text stack)")
-        if pc > 1:
+        if pc > 1 and int(cfg.get("prompt_index", 0)) < 0:
             # each host would dedup its LOCAL batch to a different unique
-            # set, but the dedup keys assemble as a REPLICATED global array
-            raise ValueError("data.text_dedup is single-host only")
+            # set, but the dedup keys assemble as a REPLICATED global
+            # array; only a fixed prompt_index guarantees agreement (the
+            # first batch is also cross-checked below)
+            raise ValueError(
+                "data.text_dedup with prompt_index=-1 (random prompt per "
+                "sample) is single-host only: hosts would dedup to "
+                "different unique sets")
     loaders = {
         split: DataLoader(ds, d["batch_size"] // pc,
                           shuffle=(split == "train"),
@@ -378,6 +383,8 @@ def _run(cfg: dict) -> dict:
     }
 
     sample = next(iter(loaders["val"]))
+    if td:
+        mesh_lib.assert_dedup_keys_agree(sample)
     from tunevlseg_tpu.data.pipeline import device_batch
     state, frozen = task.init(jax.random.PRNGKey(seed),
                               device_batch(sample), params=params,

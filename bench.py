@@ -213,6 +213,13 @@ def bench_one(model_name: str, args) -> dict:
     for _ in range(WARMUP):
         state, metrics = train(state, frozen, sharded)
         float(metrics["loss"])
+    # r4 samples showed a systematic HALF-SPEED first window
+    # ([9.55, 19.10, 19.10, ...] — BENCH_r04) that 3 warmup launches do not
+    # absorb: run one full-length untimed window so every recorded window
+    # is steady-state (VERDICT r4 #6). Median-of-5 stays regardless.
+    for _ in range(ITERS):
+        state, metrics = train(state, frozen, sharded)
+    float(metrics["loss"])
 
     samples = []
     for _ in range(max(1, args.windows)):

@@ -39,9 +39,11 @@ def parse_args(argv=None):
     ap.add_argument("--iters", type=int, default=80_000)
     ap.add_argument("--warmup-iters", type=int, default=1500)
     ap.add_argument("--batch", type=int, default=32)
-    ap.add_argument("--backbone", choices=("rn50", "vitb16"),
+    ap.add_argument("--backbone", choices=("rn50", "rn101", "vitb16"),
                     default="rn50",
                     help="rn50 = denseclip_fpn_res50_512x512_80k recipe; "
+                         "rn101 = denseclip_fpn_res101_512x512_80k "
+                         "(layers (3,4,23,3), joint dim 512); "
                          "vitb16 = denseclip_fpn_vit-b_640x640_80k (crop "
                          "defaults to 640, drop_path 0.1)")
     ap.add_argument("--crop", type=int, default=None,
@@ -133,9 +135,16 @@ def main(argv=None):
     if args.tiny:
         cfg = (DenseCLIPConfig.tiny_vit(head_dropout=0.0)
                if args.backbone == "vitb16"
-               else DenseCLIPConfig.tiny(head_dropout=0.0))
+               else DenseCLIPConfig.tiny(
+                   head_dropout=0.0,
+                   # tiny rn101 keeps the deep-stage-3 + joint-dim-512
+                   # structure at toy widths
+                   **({"vision_layers": (1, 1, 2, 1), "embed_dim": 16}
+                      if args.backbone == "rn101" else {})))
     elif args.backbone == "vitb16":
         cfg = DenseCLIPConfig.vitb16()  # ViT-B/16 640², the reference recipe
+    elif args.backbone == "rn101":
+        cfg = DenseCLIPConfig.rn101()  # RN101 512², (3,4,23,3), dim 512
     else:
         cfg = DenseCLIPConfig()  # RN50 512², the reference recipe
 

@@ -29,6 +29,34 @@ else:
 import numpy as np
 import pytest
 
+# `pytest -m quick` — the pre-commit smoke tier (VERDICT r4 #8): config
+# composition, the collate/dedup contract, the tiny graft dryrun (tp+fsdp+sp
+# legs), one tiny f64 parity per model family, and loader basics. Target
+# <5 min on the 1-CPU sandbox (measured ~3 min 2026-08-20); the full suite
+# is the real gate and takes hours here (fine on a ~100-core TPU host).
+QUICK_NODES = (
+    "test_cli.py::test_compose_defaults",
+    "test_cli.py::test_compose_experiment_and_overrides",
+    "test_cli.py::test_compose_strategy_variants",
+    "test_cli.py::test_fixed_prompt_detection",
+    "test_text_dedup.py::test_collate_dedup_contract",
+    "test_graft_entry.py::test_dryrun_impl_in_process",
+    "test_clipseg_parity.py::test_e2e_clipseg_parity[False]",
+    "test_cris_parity.py::test_e2e_cris_parity[1.0]",
+    "test_trans_segmentor_parity.py::test_trans_segmentor_parity[False]",
+    "test_denseclip.py::test_full_denseclip_forward",
+    "test_zero_shot_ris.py::test_masked_clip_features_parity",
+    "test_data.py::test_tokenizer_basics",
+    "test_data.py::test_loader_batching_and_padding",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        rel = item.nodeid.split("tests/")[-1]
+        if rel in QUICK_NODES:
+            item.add_marker(pytest.mark.quick)
+
 
 @pytest.fixture
 def rng():

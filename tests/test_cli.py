@@ -161,6 +161,80 @@ def test_text_dedup_train_cycle(synth_root, tmp_path, model_overrides):
     assert np.isfinite(result["test_loss"])
 
 
+def test_text_dedup_random_prompts_fall_back_dense(tmp_path):
+    """prompt_index=-1 (random prompt per sample) + the default
+    text_dedup=1 overlay must TRAIN, not raise: single-host batches whose
+    distinct prompts exceed capacity fall back to dense collation
+    (VERDICT r4 #7). Multi-prompt dataset: every task carries distinct
+    p1/p2 strings, so a 4-row batch holds ~4 unique prompts."""
+    import cv2 as _cv2
+
+    from tunevlseg_tpu import train as train_mod
+
+    root = tmp_path / "data" / "kvasir_polyp"
+    (root / "images").mkdir(parents=True)
+    (root / "masks").mkdir()
+    (root / "anns").mkdir()
+    rng = np.random.default_rng(3)
+    tasks = []
+    for i in range(8):
+        img = rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+        mask = np.zeros((40, 40), np.uint8)
+        mask[8:30, 8:30] = 255
+        _cv2.imwrite(str(root / "images" / f"{i}.png"), img)
+        _cv2.imwrite(str(root / "masks" / f"{i}.png"), mask)
+        tasks.append({"img_name": f"{i}.png", "mask_name": f"{i}.png",
+                      "prompts": {"p0": "polyp",
+                                  "p1": f"small polyp {i}",
+                                  "p2": [f"lesion {i}", f"growth {i}"]}})
+    for split in ("train", "val", "test"):
+        (root / "anns" / f"{split}.json").write_text(json.dumps(tasks))
+
+    result = train_mod.main([
+        "ds_name=kvasir_polyp",
+        f"paths.data_root={root.parent}",
+        f"paths.log_dir={tmp_path / 'logs'}",
+        f"vocab_path={VOCAB}",
+        "img_size=32",
+        "+tiny_model=true",
+        "data.batch_size=4",
+        "data.num_workers=2",
+        "+data.text_dedup=1",
+        "prompt_index=-1",
+        "trainer=debug",
+        "trainer.max_epochs=1",
+        "trainer.n_devices=4",
+        "exp_name=dedup_random_fallback",
+    ])
+    assert "test_dice" in result and 0 <= result["test_dice"] <= 1
+    assert np.isfinite(result["test_loss"])
+
+
+def test_fixed_prompt_detection(tmp_path):
+    """fixed_prompt(): the multi-host dedup gate's data property — True only
+    for a provably constant scalar prompt at a fixed prompt_index."""
+    from tunevlseg_tpu.data.datasets import ImageTextMaskDataset
+
+    def make(tasks, **kw):
+        p = tmp_path / f"t{make.n}.json"
+        make.n += 1
+        p.write_text(json.dumps(tasks))
+        return ImageTextMaskDataset(image_dir=tmp_path, mask_dir=tmp_path,
+                                    task_path=p, tokenizer=None, **kw)
+    make.n = 0
+
+    const = [{"prompts": {"p0": "polyp"}} for _ in range(3)]
+    assert make(const).fixed_prompt() == "polyp"
+    assert make(const, insert_stop_at_last=True).fixed_prompt() == "polyp."
+    assert make(const, prompt_index=-1).fixed_prompt() is None  # random key
+    varying = [{"prompts": {"p0": f"polyp {i}"}} for i in range(3)]
+    assert make(varying).fixed_prompt() is None
+    listy = [{"prompts": {"p0": ["a", "b"]}} for _ in range(3)]
+    assert make(listy).fixed_prompt() is None
+    assert make(varying,
+                override_prompt="lesion").fixed_prompt() == "lesion"
+
+
 def test_text_dedup_rejects_cocoop(synth_root, tmp_path):
     from tunevlseg_tpu import train as train_mod
 

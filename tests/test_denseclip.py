@@ -70,8 +70,16 @@ def ref_models():
     return mod
 
 
-def test_backbone_parity(ref_models):
-    cfg = DenseCLIPConfig.tiny()
+@pytest.mark.parametrize("variant", ["rn50", "rn101"])
+def test_backbone_parity(ref_models, variant):
+    """tiny = RN50 structure; the rn101 case keeps tiny widths but the
+    res101 recipe's STRUCTURE (denseclip_fpn_res101_512x512_80k.py:16):
+    a deep stage 3 with >=11 blocks (two-digit torch block indices — the
+    converter must not break at resblocks past .9) and a joint dim that
+    differs from RN50's (output_dim 512 vs 1024 at full size)."""
+    cfg = (DenseCLIPConfig.tiny() if variant == "rn50"
+           else DenseCLIPConfig.tiny(vision_layers=(1, 1, 11, 1),
+                                     embed_dim=16))
     torch.manual_seed(0)
     ref = ref_models.CLIPResNetWithAttention(
         layers=list(cfg.vision_layers), output_dim=cfg.embed_dim,
@@ -523,6 +531,15 @@ def test_train_denseclip_driver_smoke(tmp_path):
                           "--val-every", "8", "--log-every", "4",
                           "--out", str(tmp_path / "dcv")])
     assert np.isfinite(final_vit["loss"])
+
+    # RN101 variant (denseclip_fpn_res101_512x512_80k recipe surface:
+    # deep stage 3, joint dim != RN50's)
+    final_101 = mod.main(["--synthetic", "--tiny", "--backbone", "rn101",
+                          "--iters", "8", "--batch", "8",
+                          "--warmup-iters", "2", "--lr", "3e-3",
+                          "--val-every", "8", "--log-every", "4",
+                          "--out", str(tmp_path / "dc101")])
+    assert np.isfinite(final_101["loss"])
 
 
 def test_denseclip_vit_train_step_with_drop_path(rng):

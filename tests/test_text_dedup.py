@@ -70,10 +70,18 @@ def test_collate_dedup_contract(rng):
     np.testing.assert_array_equal(
         batch["attention_mask"][batch["text_index"]],
         dense["attention_mask"])
-    # capacity overflow is a hard error, not silent truncation
+    # capacity overflow: hard error under the multi-host contract
+    # (strict_dedup, default), DENSE fallback for single-host loaders
     with pytest.raises(ValueError, match="distinct prompts"):
         collate(list(_samples(rng, n=6, n_prompts=4)), batch_size=8,
                 text_dedup=3)
+    over = _samples(np.random.default_rng(7), n=6, n_prompts=4)
+    fell = collate(list(over), batch_size=8, text_dedup=3,
+                   strict_dedup=False)
+    assert "text_index" not in fell
+    assert fell["input_ids"].shape == (8, 12)
+    np.testing.assert_array_equal(
+        fell["input_ids"], collate(list(over), batch_size=8)["input_ids"])
     # device_batch keeps the inverse map
     assert "text_index" in device_batch(batch)
 

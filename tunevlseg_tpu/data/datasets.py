@@ -86,6 +86,18 @@ class BaseImageTextMaskDataset:
         return {"input_ids": out["input_ids"][0],
                 "attention_mask": out["attention_mask"][0]}
 
+    def fixed_prompt(self) -> Optional[str]:
+        """The single prompt string every sample provably selects, or None.
+
+        Multi-host prompt dedup replicates the unique text rows via
+        `make_array_from_process_local_data`, which trusts the hosts to
+        pass identical values — that only holds when prompt selection is a
+        CONSTANT over the dataset (hosts hold disjoint sample shards, so
+        per-task or list-sampled prompts can diverge across hosts even
+        with a fixed prompt_index). Subclasses override where the property
+        is checkable; the base conservatively answers None."""
+        return None
+
 
 class ImageTextMaskDataset(BaseImageTextMaskDataset):
     def __init__(
@@ -122,6 +134,27 @@ class ImageTextMaskDataset(BaseImageTextMaskDataset):
             prompt = prompts[key]
             if not isinstance(prompt, str):
                 prompt = prompt[int(rng.integers(len(prompt)))]
+        if self.insert_stop_at_last and not prompt.endswith("."):
+            prompt += "."
+        return prompt
+
+    def fixed_prompt(self) -> Optional[str]:
+        if self.override_prompt is not None:
+            prompt = self.override_prompt
+        else:
+            if self.prompt_key == "random":
+                return None
+            vals = set()
+            for task in self.tasks:
+                v = task["prompts"].get(self.prompt_key)
+                if not isinstance(v, str):  # missing or list-sampled
+                    return None
+                vals.add(v)
+                if len(vals) > 1:
+                    return None
+            if not vals:
+                return None
+            prompt = next(iter(vals))
         if self.insert_stop_at_last and not prompt.endswith("."):
             prompt += "."
         return prompt

@@ -28,10 +28,11 @@ from typing import Any, Iterator, Optional
 import numpy as np
 
 _ARRAY_KEYS = ("image", "mask", "input_ids", "attention_mask")
+_warned_dense_fallback = False
 
 
 def collate(samples: list[dict[str, Any]], batch_size: int,
-            text_dedup: int = 0) -> dict[str, Any]:
+            text_dedup: int = 0, strict_dedup: bool = True) -> dict[str, Any]:
     """Stack samples; pad to `batch_size` with repeats + valid=0.
 
     `text_dedup=U` rewrites the text keys to the batch's unique prompt rows
@@ -40,9 +41,12 @@ def collate(samples: list[dict[str, Any]], batch_size: int,
     per dataset (ImageTextMaskDataset prompt_index,
     src/data/core_datasets/image_text_mask_dataset.py:101-128), so every row
     repeats the same tokens and the model's text tower can run once instead
-    of batch_size times (models/clipseg/model.py text_index). Raises when a
-    batch holds more than U distinct prompts — raise the capacity or disable
-    dedup for multi-prompt data."""
+    of batch_size times (models/clipseg/model.py text_index). When a batch
+    holds more than U distinct prompts: `strict_dedup=True` raises (the
+    multi-host contract — every host must emit the same layout every step);
+    `strict_dedup=False` falls back to the dense layout for THIS batch with
+    a one-time warning (the single-host de-footgun, VERDICT r4 #7 — the jit
+    cache simply holds both batch signatures)."""
     n = len(samples)
     valid = np.zeros((batch_size,), np.float32)
     valid[:n] = 1.0
@@ -54,7 +58,21 @@ def collate(samples: list[dict[str, Any]], batch_size: int,
     }
     batch["valid"] = valid
     if text_dedup and "input_ids" in batch:
-        dedup_text(batch, text_dedup)
+        try:
+            dedup_text(batch, text_dedup)
+        except ValueError:
+            if strict_dedup:
+                raise
+            global _warned_dense_fallback
+            if not _warned_dense_fallback:
+                _warned_dense_fallback = True
+                import logging
+                logging.getLogger("tunevlseg").warning(
+                    "text_dedup=%d exceeded by a batch's distinct prompts — "
+                    "falling back to DENSE text collation for such batches "
+                    "(slower; raise data.text_dedup or set it to 0 for "
+                    "multi-prompt data). Further fallbacks are silent.",
+                    text_dedup)
     # passthrough metadata (lists, not arrays — host-side only)
     for k in ("mask_name", "prompt", "mask_shape"):
         if k in samples[0]:
@@ -103,6 +121,7 @@ class DataLoader:
         num_shards: int = 1,
         shard_index: int = 0,
         text_dedup: int = 0,
+        strict_dedup: Optional[bool] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -112,6 +131,11 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.text_dedup = text_dedup
+        # multi-host collation must be layout-identical on every host every
+        # step, so capacity overflow stays a hard error there; single-host
+        # falls back to dense with a warning (VERDICT r4 #7)
+        self.strict_dedup = (num_shards > 1 if strict_dedup is None
+                             else strict_dedup)
         self.epoch = 0
         self.start_batch = 0
         # multi-host: this process loads every num_shards-th sample
@@ -190,7 +214,8 @@ class DataLoader:
                         try:
                             item: Any = collate([f.result() for f in futs],
                                                 self.batch_size,
-                                                text_dedup=self.text_dedup)
+                                                text_dedup=self.text_dedup,
+                                                strict_dedup=self.strict_dedup)
                         except Exception as e:  # surface worker errors
                             item = e
                         if not put_or_stop(item) or isinstance(item, Exception):

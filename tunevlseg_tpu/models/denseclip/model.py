@@ -106,6 +106,20 @@ class DenseCLIPConfig:
         return DenseCLIPConfig.tiny(**base)
 
     @staticmethod
+    def rn101(**kw) -> "DenseCLIPConfig":
+        """The ResNet-101 512² ADE-150 recipe
+        (denseclip_fpn_res101_512x512_80k.py): backbone layers (3,4,23,3)
+        and — unlike RN50's 1024 — a 512 joint text/visual dim
+        (backbone output_dim=512, text_dim=512 in the reference config,
+        matching the RN101 CLIP checkpoint's embed_dim). Everything else
+        (token budgets, context decoder, FPN head, schedule) is the RN50
+        recipe. Also the backbone shape of fpn_clipres101_512x512_80k.py
+        (CLIPFPNBaseline ignores embed_dim/attnpool)."""
+        base = dict(vision_layers=(3, 4, 23, 3), embed_dim=512)
+        base.update(kw)
+        return DenseCLIPConfig(**base)
+
+    @staticmethod
     def vitb16(**kw) -> "DenseCLIPConfig":
         """The ViT-B/16 640² ADE-150 recipe
         (denseclip_fpn_vit-b_640x640_80k.py): width 768, 12 layers, stages

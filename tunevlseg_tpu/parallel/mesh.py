@@ -91,10 +91,13 @@ def assert_dedup_keys_agree(batch: dict) -> None:
     The dedup keys assemble as a REPLICATED global array and
     `make_array_from_process_local_data` does NOT verify the hosts passed
     identical values — disagreement would silently pick one host's prompts.
-    With a fixed prompt_index every local batch holds the same unique row
-    padded deterministically to capacity, so agreement holds by
-    construction; this one-time allgather (U×77 int32 — bytes) turns a
-    recipe violation into a hard error instead of corrupt training."""
+    Agreement holds by construction ONLY for a dataset whose prompt
+    selection is one constant scalar string (fixed prompt_index, scalar
+    entry, U=1 — the gate train.py enforces): per-task prompts or
+    list-valued entries sample per-index rngs, and hosts hold disjoint
+    sample shards, so they can diverge on later shuffled batches. This
+    check runs on the FIRST batch only (U×77 int32 allgather — bytes); it
+    is belt-and-braces for the config gate, not a per-step guarantee."""
     if jax.process_count() == 1:
         return
     from jax.experimental import multihost_utils

@@ -364,15 +364,38 @@ def _run(cfg: dict) -> dict:
         if mcfg.get("strategy") == "cocoop":
             raise ValueError("data.text_dedup is incompatible with CoCoOp "
                              "(image-conditioned text stack)")
-        if pc > 1 and int(cfg.get("prompt_index", 0)) < 0:
-            # each host would dedup its LOCAL batch to a different unique
-            # set, but the dedup keys assemble as a REPLICATED global
-            # array; only a fixed prompt_index guarantees agreement (the
-            # first batch is also cross-checked below)
-            raise ValueError(
-                "data.text_dedup with prompt_index=-1 (random prompt per "
-                "sample) is single-host only: hosts would dedup to "
-                "different unique sets")
+        if pc > 1:
+            # The dedup keys assemble as a REPLICATED global array and
+            # make_array_from_process_local_data trusts hosts to agree.
+            # Fixed prompt_index is NOT sufficient: prompts are per-task
+            # and list-valued pN entries sample per-index rngs
+            # (data/datasets.py pick_prompt), and hosts hold disjoint
+            # sample shards — so later shuffled batches can diverge in
+            # unique-set content/order even when the first val batch
+            # agrees (advisor r4). Multi-host dedup therefore requires
+            # U==1 AND a dataset whose prompt selection is provably one
+            # constant string (fixed_prompt()); everything else runs
+            # dense. The first val batch is still cross-checked below as
+            # belt-and-braces.
+            if td != 1:
+                raise ValueError(
+                    f"data.text_dedup={td} is single-host only; multi-host "
+                    "supports only text_dedup=1 with a provably constant "
+                    "prompt")
+            bad = [split for split, ds in datasets.items()
+                   if getattr(ds, "fixed_prompt", lambda: None)() is None]
+            if bad:
+                raise ValueError(
+                    "data.text_dedup under multi-host requires every "
+                    "dataset to select ONE constant prompt (scalar entry "
+                    f"at a fixed prompt_index); splits {bad} do not — "
+                    "set data.text_dedup=0")
+        elif int(cfg.get("prompt_index", 0)) < 0:
+            log.warning(
+                "data.text_dedup=%d with prompt_index=-1 (random prompt "
+                "per sample): batches whose distinct prompts exceed the "
+                "capacity fall back to DENSE collation (slower). Set "
+                "data.text_dedup=0 to silence.", td)
     loaders = {
         split: DataLoader(ds, d["batch_size"] // pc,
                           shuffle=(split == "train"),

@@ -38,6 +38,8 @@ QUICK_NODES = (
     "test_cli.py::test_compose_defaults",
     "test_cli.py::test_compose_experiment_and_overrides",
     "test_cli.py::test_compose_strategy_variants",
+    "test_cli.py::test_compose_extras_local_and_tree",
+    "test_cli.py::test_compose_example_experiment_template",
     "test_cli.py::test_fixed_prompt_detection",
     "test_text_dedup.py::test_collate_dedup_contract",
     "test_graft_entry.py::test_dryrun_impl_in_process",

@@ -59,6 +59,53 @@ def test_compose_experiment_and_overrides():
     assert "coop" in cfg["tags"]
 
 
+def test_compose_extras_local_and_tree(tmp_path):
+    """Reference onboarding surface (VERDICT r4 #10): the extras group
+    composes, configs/local/ merges LAST (beats experiment overlays, loses
+    only to CLI value overrides), and the config tree renders without
+    rich."""
+    import shutil
+
+    from tunevlseg_tpu.utils.config_tree import (apply_extras,
+                                                 format_config_tree)
+
+    cfg = compose(CONFIG_DIR, "train", ["ds_name=x"])
+    assert cfg["extras"] == {"ignore_warnings": False, "enforce_tags": True,
+                             "print_config": False}
+
+    cdir = tmp_path / "configs"
+    shutil.copytree(CONFIG_DIR, cdir)
+    (cdir / "local" / "default.yaml").write_text(
+        "seed: 777\ndata:\n  num_workers: 3\n")
+    local = compose(cdir, "train", ["experiment=coop/clipseg", "ds_name=x"])
+    assert local["seed"] == 777              # local beats the experiment
+    assert local["data"]["num_workers"] == 3
+    cli = compose(cdir, "train", ["experiment=coop/clipseg", "ds_name=x",
+                                  "seed=42"])
+    assert cli["seed"] == 42                 # CLI beats local
+
+    tree = format_config_tree(cfg)
+    assert tree.startswith("CONFIG")
+    assert "├── " in tree and "model" in tree
+
+    # enforce_tags without a tty tags the run ['dev'] instead of blocking
+    c = {"extras": {"enforce_tags": True}, "tags": []}
+    apply_extras(c)
+    assert c["tags"] == ["dev"]
+
+    # print_config persists the tree next to the run
+    c2 = {"extras": {"print_config": True}, "paths": {}}
+    apply_extras(c2, save_dir=str(tmp_path / "run"))
+    assert (tmp_path / "run" / "config_tree.log").exists()
+
+
+def test_compose_example_experiment_template():
+    cfg = compose(CONFIG_DIR, "train", ["experiment=example", "ds_name=x"])
+    assert cfg["tags"] == ["example"]
+    assert cfg["model"]["strategy"] == "coop"
+    assert cfg["data"]["batch_size"] == 64
+
+
 def test_compose_strategy_variants():
     cfg = compose(CONFIG_DIR, "train",
                   ["model=shared_attn_clipseg", "ds_name=x"])

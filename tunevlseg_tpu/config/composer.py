@@ -213,6 +213,11 @@ class Composer:
         cfg: dict = {}
         self_merged = False
         global_overlays: list[dict] = []
+        # the `local/` group (machine-specific overrides, reference
+        # configs/local/) always merges LAST — after experiment overlays,
+        # whatever their order in the defaults list; only explicit CLI
+        # value overrides beat it
+        late_overlays: list[dict] = []
         used_groups: set[str] = set()
 
         def include(group_path: str):
@@ -277,7 +282,9 @@ class Composer:
                 if sub == "_self_":
                     continue
                 handle_entry(sub, base_group=group)
-            if is_global:
+            if group.split("/")[0] == "local":
+                late_overlays.append(data if is_global else data or {})
+            elif is_global:
                 global_overlays.append(data)
             else:
                 deep_merge(cfg, {group.split("/")[0]: data})
@@ -293,6 +300,8 @@ class Composer:
             if group not in used_groups:
                 handle_entry({group: option})
         for overlay in global_overlays:
+            deep_merge(cfg, overlay)
+        for overlay in late_overlays:
             deep_merge(cfg, overlay)
 
         for op, key, val in value_overrides:

@@ -34,6 +34,8 @@ def main(argv: Optional[list[str]] = None) -> dict:
 
 
 def _run(cfg: dict) -> dict:
+    from tunevlseg_tpu.utils.config_tree import apply_extras
+    apply_extras(cfg, save_dir=cfg["paths"].get("output_dir"))
     ckpt_path = cfg.get("ckpt_path")
     if not cfg.get("disable_ckpt") and not ckpt_path:
         # reference src/eval.py:107-111 refuses to evaluate without a

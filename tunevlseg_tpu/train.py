@@ -328,6 +328,8 @@ def main(argv: Optional[list[str]] = None) -> dict:
 
 
 def _run(cfg: dict) -> dict:
+    from tunevlseg_tpu.utils.config_tree import apply_extras
+    apply_extras(cfg, save_dir=cfg["paths"].get("output_dir"))
     if cfg.get("debug_nans"):
         # reference debug/default.yaml detect_anomaly -> fail fast on NaNs
         jax.config.update("jax_debug_nans", True)

@@ -125,12 +125,51 @@ def main() -> None:
         proj["compute_source"] = f"flops/(peak*mfu={args.mfu})"
 
     grad_floor = comm_analysis.expected_dp_gradient_bytes(state.trainable)
+
+    # Analytic predictions to cross-check the measured HLO volumes against
+    # (VERDICT r4 #9) — each a closed-form count of the collectives the
+    # sharding REQUIRES; the measured-vs-predicted ratio in docs/SCALING.md
+    # says how much XLA added or saved beyond the physics.
+    predictions = {"dp_grad_allreduce_bytes": grad_floor}
+    if args.tp > 1 and args.model == "coop_clipseg":
+        b_local = global_batch // (args.devices // args.tp)
+        # CLIPSeg ViT-B/16 @352: vision tower 12 blocks, 485 tokens (the
+        # HLO shows the UNPADDED stream here — TUNEVLSEG_PAD_SEQ applies
+        # only to the attention K/V, not the residual), hidden 768 —
+        # FORWARD-only under CoOp (no trainable ancestor: prompts live in
+        # the text tower; the r5 HLO confirms: 24 vision ARs, no bwd).
+        # Text tower 12 blocks, 77 tokens, hidden 512 — forward + backward
+        # (context-vector grads). The rd64 decoder's d=64 blocks add ~1%
+        # and are left to the residual. Measured dtype is f32 (the
+        # bytes_by_dtype split): the towers keep the residual stream f32
+        # even under bf16 compute, so the f32 prediction is the binding
+        # one — r5 measured 662.1 MiB vs 661 MiB predicted (ratio 1.00,
+        # PERF_r05/scaling_check.json).
+        predictions["tp_activation_allreduce_bytes"] = {
+            dt: comm_analysis.expected_tp_activation_bytes(
+                b_local, 485, 768, blocks_fwd=12, blocks_bwd=0,
+                dtype_bytes=nb)
+            + comm_analysis.expected_tp_activation_bytes(
+                b_local, 77, 512, blocks_fwd=12, blocks_bwd=12,
+                dtype_bytes=nb)
+            for dt, nb in (("bf16", 2), ("f32", 4))}
+    if args.fsdp:
+        merged = {"frozen": frozen, "trainable": state.trainable}
+        msh = {"frozen": fsh, "trainable":
+               jax.tree_util.tree_map(lambda _: None, state.trainable)}
+        # trainable shardings live inside ssh (TrainState); reuse its
+        # trainable subtree
+        msh["trainable"] = ssh.trainable
+        gather_once = comm_analysis.expected_fsdp_gather_bytes(merged, msh)
+        predictions["fsdp_gather_bytes"] = {
+            "gather_once": gather_once, "gather_fwd_and_bwd": 2 * gather_once}
     out = {
         "metric": f"scaling_{args.model}_dp{args.devices // args.tp}"
                   f"xtp{args.tp}{'_fsdp' if args.fsdp else ''}"
                   f"_b{global_batch}_{img}",
         "flops_full_program": flops,
         "trainable_grad_bytes_floor": grad_floor,
+        "predicted": predictions,
         "assumptions": {"ici_gbps_effective": args.ici_gbps,
                         "overlap": args.overlap,
                         "latency_us_per_collective":

@@ -234,14 +234,28 @@ class Upsampler(nn.Module):
         channel_factor = proj // n
         up_factor = c.vision.patch_size ** (1.0 / n)
 
+        # Fused replicate pad: every conv here is preceded by a resize, and
+        # the resize matmul can EMIT the replicate-padded tensor for free
+        # (duplicated first/last interpolation rows — ops/image._pad_matrix,
+        # bitwise identical), so the conv runs VALID with no explicit pad
+        # pass. The explicit jnp.pad+conv measured ~2x the zero-pad conv
+        # (8.3 vs 4.9 ms @208, 9.0 vs 3.6 ms @352 —
+        # PERF_r05/micro_upsampler_variants.log). Default ON;
+        # TUNEVLSEG_UPSAMPLER_FUSED_PAD=0 restores the r4 path (trace-time
+        # read — the ab_env A/B gotcha, CLAUDE.md).
+        fused_pad = (not flat) and os.environ.get(
+            "TUNEVLSEG_UPSAMPLER_FUSED_PAD", "1") == "1"
+
         in_ch = proj
         size = final // c.vision.patch_size
         for i in range(n - 1):
             out_ch = in_ch - channel_factor
             size = math.ceil(size * up_factor)
-            x = resize(x, (size, size), "bilinear")
-            conv = Conv2d(in_ch, out_ch, 3, padding="same",
-                          pad_mode="replicate",
+            x = resize(x, (size, size), "bilinear",
+                       out_pad=1 if fused_pad else 0)
+            conv = Conv2d(in_ch, out_ch, 3,
+                          padding=0 if fused_pad else "same",
+                          pad_mode="zeros" if fused_pad else "replicate",
                           use_bias=c.upsampler_norm is None,
                           layout="nhwc" if nhwc else "nchw",
                           dtype=self.dtype, name=f"block{i}_conv")
@@ -264,12 +278,15 @@ class Upsampler(nn.Module):
             x = ACT2FN[c.upsampler_act](x)
             in_ch = out_ch
 
-        x = resize(x, (final, final), "bilinear")
+        x = resize(x, (final, final), "bilinear",
+                   out_pad=1 if fused_pad else 0)
         # final conv; `output_bias` fixes the bias init from mask statistics
         # (configs/experiment/phrasecut.yaml: output_bias -1.748...) but the
         # param stays trainable, like the overridden torch bias
-        out_conv = Conv2d(in_ch, c.num_output_channels, 3, padding="same",
-                          pad_mode="replicate", bias_init_value=c.output_bias,
+        out_conv = Conv2d(in_ch, c.num_output_channels, 3,
+                          padding=0 if fused_pad else "same",
+                          pad_mode="zeros" if fused_pad else "replicate",
+                          bias_init_value=c.output_bias,
                           layout="nhwc" if nhwc else "nchw",
                           dtype=self.dtype, name="out_conv")
         x = self._conv3_flat(x, out_conv) if flat else out_conv(x)

@@ -77,20 +77,39 @@ def _resize_matrix(in_size: int, out_size: int, mode: str,
     return w.astype(np.float32)
 
 
+def _pad_matrix(m: np.ndarray, out_pad: int) -> np.ndarray:
+    """Duplicate the first/last rows `out_pad` times: the resize matmul then
+    EMITS a replicate-padded output for free — the duplicated row computes
+    the identical dot product, so the result is bitwise what
+    `jnp.pad(resize(x), ..., mode="edge")` produces, with no extra pass.
+    This is the trans_seg Upsampler's pad-fusion (the explicit replicate
+    pad before each 3x3 conv measured ~2x the conv itself:
+    PERF_r05/micro_upsampler_variants.log)."""
+    if not out_pad:
+        return m
+    return np.concatenate([np.repeat(m[:1], out_pad, 0), m,
+                           np.repeat(m[-1:], out_pad, 0)])
+
+
 def resize_2d(img: jnp.ndarray, out_hw: tuple[int, int], method: str = "bilinear",
-              align_corners: bool = False) -> jnp.ndarray:
+              align_corners: bool = False, out_pad: int = 0) -> jnp.ndarray:
     """Resize the trailing two axes of `img` (..., H, W) -> (..., H', W').
 
     Matches `torch.nn.functional.interpolate(img, out_hw, mode=method,
     align_corners=align_corners)` numerics (without antialiasing, like torch's
     default). Implemented as two MXU matmuls.
+
+    `out_pad=p` additionally replicate-pads the output by p on each side of
+    H and W (-> H'+2p, W'+2p) inside the same matmuls (see _pad_matrix).
     """
     h_in, w_in = img.shape[-2], img.shape[-1]
     h_out, w_out = out_hw
-    if (h_in, w_in) == (h_out, w_out):
+    if (h_in, w_in) == (h_out, w_out) and not out_pad:
         return img
-    wr = jnp.asarray(_resize_matrix(h_in, h_out, method, align_corners))
-    wc = jnp.asarray(_resize_matrix(w_in, w_out, method, align_corners))
+    wr = jnp.asarray(_pad_matrix(
+        _resize_matrix(h_in, h_out, method, align_corners), out_pad))
+    wc = jnp.asarray(_pad_matrix(
+        _resize_matrix(w_in, w_out, method, align_corners), out_pad))
     dtype = img.dtype
     x = img.astype(jnp.float32)
     x = jnp.einsum("oh,...hw->...ow", wr, x, preferred_element_type=jnp.float32)
@@ -100,15 +119,18 @@ def resize_2d(img: jnp.ndarray, out_hw: tuple[int, int], method: str = "bilinear
 
 def resize_2d_nhwc(img: jnp.ndarray, out_hw: tuple[int, int],
                    method: str = "bilinear",
-                   align_corners: bool = False) -> jnp.ndarray:
+                   align_corners: bool = False,
+                   out_pad: int = 0) -> jnp.ndarray:
     """`resize_2d` for channels-last (B, H, W, C) maps — same precomputed
     matrices applied to the middle axes, identical numerics."""
     h_in, w_in = img.shape[1], img.shape[2]
     h_out, w_out = out_hw
-    if (h_in, w_in) == (h_out, w_out):
+    if (h_in, w_in) == (h_out, w_out) and not out_pad:
         return img
-    wr = jnp.asarray(_resize_matrix(h_in, h_out, method, align_corners))
-    wc = jnp.asarray(_resize_matrix(w_in, w_out, method, align_corners))
+    wr = jnp.asarray(_pad_matrix(
+        _resize_matrix(h_in, h_out, method, align_corners), out_pad))
+    wc = jnp.asarray(_pad_matrix(
+        _resize_matrix(w_in, w_out, method, align_corners), out_pad))
     dtype = img.dtype
     x = img.astype(jnp.float32)
     x = jnp.einsum("oh,bhwc->bowc", wr, x, preferred_element_type=jnp.float32)

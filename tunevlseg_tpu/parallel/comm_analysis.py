@@ -66,10 +66,18 @@ class CollectiveVolumes:
 
     Bytes are the HLO *result* buffer sizes (per participating device):
     for all-reduce that equals the reduced tensor; for all-gather the
-    gathered (full) output; for reduce-scatter the scattered shard."""
+    gathered (full) output; for reduce-scatter the scattered shard.
+
+    `bytes_by_dtype` splits the same total by element type (settles e.g.
+    "are the tp activation all-reduces bf16 or f32?" empirically) and
+    `largest` records the top individual instructions (kind, type string,
+    bytes) so byte totals can be attributed to specific tensors when a
+    measured volume disagrees with the analytic prediction."""
 
     counts: dict
     bytes_by_kind: dict
+    bytes_by_dtype: dict = dataclasses.field(default_factory=dict)
+    largest: list = dataclasses.field(default_factory=list)
 
     @property
     def total_bytes(self) -> int:
@@ -82,10 +90,12 @@ class CollectiveVolumes:
     def as_dict(self) -> dict:
         return {"counts": dict(self.counts),
                 "bytes_by_kind": dict(self.bytes_by_kind),
+                "bytes_by_dtype": dict(self.bytes_by_dtype),
+                "largest": list(self.largest),
                 "total_bytes": self.total_bytes}
 
 
-def collective_volumes(hlo_text: str) -> CollectiveVolumes:
+def collective_volumes(hlo_text: str, top_k: int = 8) -> CollectiveVolumes:
     """Scan post-optimization HLO text for collective instructions.
 
     Async pairs (all-reduce-start / all-reduce-done) are counted once, at
@@ -93,6 +103,8 @@ def collective_volumes(hlo_text: str) -> CollectiveVolumes:
     complete."""
     counts: dict = {}
     vols: dict = {}
+    by_dtype: dict = {}
+    instrs: list = []
     for line in hlo_text.splitlines():
         m = _INSTR_RE.search(line)
         if not m:
@@ -100,8 +112,21 @@ def collective_volumes(hlo_text: str) -> CollectiveVolumes:
         type_str, op = m.groups()
         kind = op[:-len("-start")] if op.endswith("-start") else op
         counts[kind] = counts.get(kind, 0) + 1
-        vols[kind] = vols.get(kind, 0) + _shape_bytes(type_str)
-    return CollectiveVolumes(counts, vols)
+        nbytes = _shape_bytes(type_str)
+        vols[kind] = vols.get(kind, 0) + nbytes
+        for dtype, dims in _SHAPE_RE.findall(type_str):
+            if dtype not in _DTYPE_BYTES:
+                continue
+            n = _DTYPE_BYTES[dtype]
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            by_dtype[dtype] = by_dtype.get(dtype, 0) + n
+        instrs.append((nbytes, kind, type_str))
+    instrs.sort(reverse=True)
+    largest = [{"kind": k, "type": t, "bytes": b}
+               for b, k, t in instrs[:top_k]]
+    return CollectiveVolumes(counts, vols, by_dtype, largest)
 
 
 # ---------------------------------------------------------------------------
@@ -210,3 +235,37 @@ def expected_dp_gradient_bytes(trainable_tree) -> int:
     gradient per step. Useful to sanity-check extraction (test oracle) and
     to see how much XLA added beyond the unavoidable grad sync."""
     return _bytes_of_tree(trainable_tree)
+
+
+def expected_tp_activation_bytes(batch_local: int, tokens: int, hidden: int,
+                                 blocks_fwd: int, blocks_bwd: int = 0,
+                                 dtype_bytes: int = 2) -> int:
+    """Megatron accounting for one tensor-parallel tower: each transformer
+    block's forward emits 2 all-reduces of the (batch_local, tokens,
+    hidden) activation (after the row-parallel out_proj and fc2); each
+    block the BACKWARD traverses emits 2 more for the column-parallel
+    input cotangents. `blocks_bwd` counts only blocks with a trainable
+    ancestor (frozen towers with no prompts are forward-only). Result-
+    buffer convention matches CollectiveVolumes (full activation bytes
+    per all-reduce)."""
+    per_ar = batch_local * tokens * hidden * dtype_bytes
+    return (2 * blocks_fwd + 2 * blocks_bwd) * per_ar
+
+
+def expected_fsdp_gather_bytes(tree, shardings_tree,
+                               data_axis: str = "data") -> int:
+    """ZeRO-3 lower bound: every leaf sharded over the data axis is
+    all-gathered (full buffer, once) before its forward use; XLA decides
+    whether the backward re-gathers (counts ×2) or reuses — compare both
+    against the measured volume."""
+    import jax
+    import numpy as np
+    total = 0
+    for leaf, sh in zip(jax.tree_util.tree_leaves(tree),
+                        jax.tree_util.tree_leaves(shardings_tree)):
+        spec = getattr(sh, "spec", None)
+        if spec is not None and any(
+                ax == data_axis or (isinstance(ax, tuple) and data_axis in ax)
+                for ax in spec if ax is not None):
+            total += int(np.asarray(leaf).nbytes)
+    return total

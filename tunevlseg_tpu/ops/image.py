@@ -111,10 +111,27 @@ def resize_2d(img: jnp.ndarray, out_hw: tuple[int, int], method: str = "bilinear
     wc = jnp.asarray(_pad_matrix(
         _resize_matrix(w_in, w_out, method, align_corners), out_pad))
     dtype = img.dtype
+    if _resize_bf16() and dtype == jnp.bfloat16:
+        x = jnp.einsum("oh,...hw->...ow", wr.astype(dtype), img,
+                       preferred_element_type=jnp.float32)
+        x = jnp.einsum("ow,...hw->...ho", wc.astype(dtype),
+                       x.astype(dtype), preferred_element_type=jnp.float32)
+        return x.astype(dtype)
     x = img.astype(jnp.float32)
     x = jnp.einsum("oh,...hw->...ow", wr, x, preferred_element_type=jnp.float32)
     x = jnp.einsum("ow,...hw->...ho", wc, x, preferred_element_type=jnp.float32)
     return x.astype(dtype)
+
+
+def _resize_bf16() -> bool:
+    """TUNEVLSEG_RESIZE_BF16=1 (trace-time read): run resize matmuls with
+    bf16 operands + f32 accumulation instead of full-f32 operands. f32
+    matmuls cost ~4x MXU passes; the bf16 path rounds the interpolation
+    WEIGHTS to bf16 (~0.4% relative), so it is numerics-affecting and
+    stays OPT-IN pending an accuracy + e2e A/B. Only engages when the
+    tensor is already bf16."""
+    import os
+    return os.environ.get("TUNEVLSEG_RESIZE_BF16", "0") == "1"
 
 
 def resize_2d_nhwc(img: jnp.ndarray, out_hw: tuple[int, int],
@@ -132,6 +149,12 @@ def resize_2d_nhwc(img: jnp.ndarray, out_hw: tuple[int, int],
     wc = jnp.asarray(_pad_matrix(
         _resize_matrix(w_in, w_out, method, align_corners), out_pad))
     dtype = img.dtype
+    if _resize_bf16() and dtype == jnp.bfloat16:
+        x = jnp.einsum("oh,bhwc->bowc", wr.astype(dtype), img,
+                       preferred_element_type=jnp.float32)
+        x = jnp.einsum("ow,bhwc->bhoc", wc.astype(dtype),
+                       x.astype(dtype), preferred_element_type=jnp.float32)
+        return x.astype(dtype)
     x = img.astype(jnp.float32)
     x = jnp.einsum("oh,bhwc->bowc", wr, x, preferred_element_type=jnp.float32)
     x = jnp.einsum("ow,bhwc->bhoc", wc, x, preferred_element_type=jnp.float32)

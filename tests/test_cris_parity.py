@@ -170,3 +170,56 @@ def test_coop_cris_parity(strategy, depth):
         {"params": converted["params"], "batch_stats": converted["batch_stats"]},
         jnp.asarray(ids), jnp.asarray(pixel), jnp.asarray(mask)))
     np.testing.assert_allclose(got, ref_out, atol=TOL, rtol=1e-3)
+
+
+def test_additive_head_fused_pad_equivalence():
+    """Fused replicate pad in the CRIS additive residual head (r5,
+    ops/image out_pad): identical param tree, outputs equal up to XLA
+    fusion reassociation (<=2 ulp f32; the isolated resize/conv pair is
+    bitwise — PERF_r05/micro_upsampler_variants.log motivates the fusion,
+    docs/ROOFLINE.md r5 section has the A/B)."""
+    import os
+
+    import jax.tree_util as jtu
+
+    from tunevlseg_tpu.models.cris.model import (CRISConfig,
+                                                 CRISForSegmentation)
+    from tunevlseg_tpu.models.prompt.learners import CoOpLearner
+
+    rng = np.random.default_rng(0)
+    cfg = CRISConfig.tiny()
+
+    def build():
+        return CRISForSegmentation(
+            cfg, learner=CoOpLearner(prompt_depth=2, num_context=4,
+                                     context_dim=cfg.transformer_width),
+            additive_mode="residual")
+
+    ids = rng.integers(3, cfg.vocab_size - 2,
+                       size=(2, cfg.context_length)).astype(np.int32)
+    ids[:, 0] = 1
+    am = np.ones_like(ids)
+    pix = rng.normal(size=(2, 3, cfg.img_size, cfg.img_size)
+                     ).astype(np.float32)
+    prev = os.environ.get("TUNEVLSEG_ADDITIVE_FUSED_PAD")
+    try:
+        os.environ["TUNEVLSEG_ADDITIVE_FUSED_PAD"] = "0"
+        m0 = build()
+        v0 = m0.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                     jnp.asarray(pix), jnp.asarray(am))
+        y0 = m0.apply(v0, jnp.asarray(ids), jnp.asarray(pix),
+                      jnp.asarray(am))
+        os.environ["TUNEVLSEG_ADDITIVE_FUSED_PAD"] = "1"
+        m1 = build()
+        v1 = m1.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                     jnp.asarray(pix), jnp.asarray(am))
+        assert jtu.tree_structure(v0) == jtu.tree_structure(v1)
+        y1 = m1.apply(v0, jnp.asarray(ids), jnp.asarray(pix),
+                      jnp.asarray(am))
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   rtol=0, atol=1e-6)
+    finally:
+        if prev is None:
+            os.environ.pop("TUNEVLSEG_ADDITIVE_FUSED_PAD", None)
+        else:
+            os.environ["TUNEVLSEG_ADDITIVE_FUSED_PAD"] = prev

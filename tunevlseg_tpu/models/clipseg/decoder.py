@@ -25,7 +25,7 @@ from flax import linen as nn
 from tunevlseg_tpu.models.clip.config import CLIPSegConfig
 from tunevlseg_tpu.nn.conv import Conv2d, ConvTranspose2d, conv2d
 from tunevlseg_tpu.nn.layers import PostNormEncoderLayer
-from tunevlseg_tpu.ops.image import upsample_scale
+from tunevlseg_tpu.ops.image import resize_2d, upsample_scale
 
 Dtype = Any
 
@@ -104,7 +104,20 @@ class AdditiveHead(nn.Module):
 
     @nn.compact
     def __call__(self, feat: jnp.ndarray) -> jnp.ndarray:  # (B, C, s, s)
-        x = upsample_scale(feat, self.config.vision.patch_size, "bilinear")
-        x = Conv2d(self.config.reduce_dim, 1, self.kernel_size, padding="same",
-                   pad_mode="replicate", dtype=self.dtype, name="conv")(x)
+        # Fused replicate pad (trans_seg r5 lever, ops/image._pad_matrix):
+        # the upsample matmul emits the replicate-padded map for free
+        # (bitwise identical) and the conv runs VALID — the explicit
+        # pad+conv measured ~2x the zero-pad conv at such shapes
+        # (PERF_r05/micro_upsampler_variants.log). Trace-time env read.
+        import os
+        fused = (self.kernel_size % 2 == 1 and os.environ.get(
+            "TUNEVLSEG_ADDITIVE_FUSED_PAD", "1") == "1")
+        p = (self.kernel_size - 1) // 2 if fused else 0
+        scale = self.config.vision.patch_size
+        h, w = feat.shape[-2], feat.shape[-1]
+        x = resize_2d(feat, (h * scale, w * scale), "bilinear", out_pad=p)
+        x = Conv2d(self.config.reduce_dim, 1, self.kernel_size,
+                   padding=0 if fused else "same",
+                   pad_mode="zeros" if fused else "replicate",
+                   dtype=self.dtype, name="conv")(x)
         return x[:, 0]

@@ -196,13 +196,23 @@ class CRISForSegmentation(nn.Module):
                               use_running_average=ura, dtype=self.dtype,
                               name="proj")
         if self.additive_mode == "residual":
+            # Fused replicate pad (r5): the 104->416 bilinear resize between
+            # the two convs emits the replicate-padded map inside its own
+            # matmuls (ops/image.resize_2d out_pad — bitwise identical), so
+            # conv2 runs VALID. The explicit pad+conv measured ~2x the
+            # zero-pad conv at such 1-output-channel shapes
+            # (PERF_r05/micro_upsampler_variants.log). Trace-time env read.
+            self._additive_fused = (
+                self.additive_kernel_size % 2 == 1 and os.environ.get(
+                    "TUNEVLSEG_ADDITIVE_FUSED_PAD", "1") == "1")
             self.additive_conv1 = Conv2d(c.vis_dim, 64, 1, use_bias=False,
                                          dtype=self.dtype,
                                          name="additive_conv1")
-            self.additive_conv2 = Conv2d(64, 1, self.additive_kernel_size,
-                                         padding="same", pad_mode="replicate",
-                                         dtype=self.dtype,
-                                         name="additive_conv2")
+            self.additive_conv2 = Conv2d(
+                64, 1, self.additive_kernel_size,
+                padding=0 if self._additive_fused else "same",
+                pad_mode="zeros" if self._additive_fused else "replicate",
+                dtype=self.dtype, name="additive_conv2")
             self.residual_ratio = self.param(
                 "residual_ratio",
                 lambda key: jnp.asarray(self.residual_ratio_init, jnp.float32))
@@ -266,7 +276,9 @@ class CRISForSegmentation(nn.Module):
 
         if self.additive_mode == "residual":
             head = self.additive_conv1(fq)
-            head = resize_2d(head, (c.img_size, c.img_size), "bilinear")
+            head = resize_2d(head, (c.img_size, c.img_size), "bilinear",
+                             out_pad=((self.additive_kernel_size - 1) // 2
+                                      if self._additive_fused else 0))
             head = self.additive_conv2(head)
             r = self.residual_ratio.astype(logits.dtype)
             logits = (1 - r) * logits + r * head

@@ -163,7 +163,26 @@ class SegmentationTask:
         extras = {k: v for k, v in frozen.items() if k != "params"}
         return frozen["params"], extras
 
+    @staticmethod
+    def _dropout_rng(rng):
+        """Dropout mask generation uses the TPU-native RBG generator
+        (TUNEVLSEG_FAST_DROPOUT=0 reverts to threefry): the CRIS decoder's
+        per-step masks (~200M bits at b64@416) cost +37 ms under threefry
+        (PERF_r05/profile_cris3.log head-with-dropout vs eval probe).
+        Dropout needs independent randomness, not a particular stream —
+        the key stays a deterministic function of (seed, step), so runs
+        remain reproducible; only the mask VALUES differ from the
+        threefry sequence (never comparable to torch's anyway). Trace-time
+        env read."""
+        import os
+        if os.environ.get("TUNEVLSEG_FAST_DROPOUT", "1") != "1":
+            return rng
+        data = jax.random.key_data(rng)
+        return jax.random.wrap_key_data(
+            jnp.tile(data.astype(jnp.uint32), 2)[:4], impl="rbg")
+
     def _loss(self, trainable, model_state, frozen, batch, rng):
+        rng = self._dropout_rng(rng)
         frozen_params, extras = self._split_frozen(frozen)
         params = optim_lib.merge_params(trainable, frozen_params)
         variables = {"params": params, **extras, **model_state}

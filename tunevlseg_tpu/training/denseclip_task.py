@@ -166,6 +166,8 @@ class DenseCLIPTask:
         return params, extras
 
     def _loss(self, trainable, model_state, frozen, batch, rng):
+        from tunevlseg_tpu.training.task import SegmentationTask
+        rng = SegmentationTask._dropout_rng(rng)  # RBG masks (task.py)
         params, extras = self._merged(trainable, frozen)
         variables = {"params": params, **extras, **model_state}
         kwargs = dict(deterministic=False, with_score_map=True,

@@ -217,9 +217,15 @@ def bench_one(model_name: str, args) -> dict:
     # ([9.55, 19.10, 19.10, ...] — BENCH_r04) that 3 warmup launches do not
     # absorb: run one full-length untimed window so every recorded window
     # is steady-state (VERDICT r4 #6). Median-of-5 stays regardless.
+    # The r5 bench_all rerun showed the flip SURVIVING the extra window on
+    # the flagship (its windows are short, ~10s): the ~10s was the first
+    # timed window's `jnp.sum(trainable leaf)` barrier compiling its OWN
+    # tiny executable over the axon remote-compile round trip — so warm
+    # that executable here too.
     for _ in range(ITERS):
         state, metrics = train(state, frozen, sharded)
     float(metrics["loss"])
+    float(jnp.sum(jax.tree_util.tree_leaves(state.trainable)[0]))
 
     samples = []
     for _ in range(max(1, args.windows)):

@@ -23,9 +23,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from tunevlseg_tpu.models.clip.config import CLIPSegConfig
-from tunevlseg_tpu.nn.conv import Conv2d, ConvTranspose2d, conv2d
+from tunevlseg_tpu.nn.conv import Conv2d, ConvTranspose2d
 from tunevlseg_tpu.nn.layers import PostNormEncoderLayer
-from tunevlseg_tpu.ops.image import resize_2d, upsample_scale
+from tunevlseg_tpu.ops.image import resize_2d
 
 Dtype = Any
 

@@ -39,6 +39,16 @@ def tree_sum(tree):
                if jnp.issubdtype(l.dtype, jnp.floating))
 
 
+def vary(x, c):
+    """Loop-variant no-op (see profile_trans_seg2.vary): defeats XLA LICM,
+    which hoisted this script's r4 constant-input fwd/fwd_bwd bodies out of
+    the scan (the 171-vs-79ms fwd_bwd run split)."""
+    import jax.numpy as jnp
+
+    pred = jnp.asarray(c, jnp.float32) < jnp.inf
+    return jnp.where(pred, x, x + jnp.ones((), x.dtype))
+
+
 def timed_scan(body, init, *consts, iters=ITERS, windows=WINDOWS, tag=""):
     """Median ms of one body application; body(carry, *consts) -> carry,
     scanned in-jit so each launch runs `iters` applications."""
@@ -99,7 +109,8 @@ def main():
 
     # 1) forward only — scalar carry accumulates both outputs
     def fwd(c, variables, img):
-        logits, score = model.apply(variables, img, with_score_map=True)
+        logits, score = model.apply(variables, vary(img, c),
+                                    with_score_map=True)
         return c + jnp.sum(logits.astype(jnp.float32)) \
             + jnp.sum(score.astype(jnp.float32))
 
@@ -112,6 +123,7 @@ def main():
                           jax.random.PRNGKey(0))[0]
 
     def fwdbwd(c, tr, model_state, frozen, batch):
+        batch = dict(batch, image=vary(batch["image"], c))
         loss, grads = jax.value_and_grad(loss_of)(tr, model_state, frozen,
                                                   batch)
         return c + loss + tree_sum(grads)

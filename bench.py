@@ -178,6 +178,8 @@ def bench_one(model_name: str, args) -> dict:
     td = args.text_dedup
     if td is None:  # auto: dedup the flagship, keep family rows dense
         td = 1 if model_name == "coop_clipseg" else 0
+        if args.strategy == "cocoop":
+            td = 0  # image-conditioned text stack rejects text_index
     if td:
         metric += f"_dedup{td}"
     batch = example_batch(batch_size, img, text_dedup=td)
